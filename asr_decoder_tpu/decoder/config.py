@@ -1,0 +1,42 @@
+"""Decoder configuration.
+
+Capability parity with ``LatticeFasterDecoderConfig``
+(ref: src/my-decoder/lattice-faster-decoder-conf.h:8-68, defaults :35-44).
+TPU-specific knobs (beam_width, arc_lanes, eps_iters) control the dense
+fixed-shape search arrays; they have no reference equivalent because the
+reference's HashList is dynamically sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from asr_decoder_tpu.utils.config import ConfigOptions, flag
+
+
+@dataclass
+class DecoderConfig:
+    # reference-equivalent knobs
+    beam: float = flag(16.0, "Decoding beam (cost margin over best token)")
+    max_active: int = flag(7000, "Upper bound on active tokens per frame")
+    min_active: int = flag(200, "Lower bound on active tokens per frame")
+    lattice_beam: float = flag(10.0, "Lattice pruning beam")
+    prune_interval: int = flag(25, "Backward-prune active tokens every N frames")
+    acoustic_scale: float = flag(1.0, "Scale on acoustic log-likelihoods")
+    # TPU-native knobs
+    beam_width: int = flag(
+        1024, "Device token-array width K (top-K per frame); the dense "
+              "analogue of max_active")
+    arc_lanes: int = flag(
+        16, "Padded emitting/eps arcs per token lane; states with higher "
+            "out-degree are split at graph load")
+    eps_iters: int = flag(
+        0, "Epsilon-closure sweeps per frame; 0 = use the graph's exact "
+           "eps depth computed at load")
+
+    def register(self, opts: ConfigOptions, prefix: str = "") -> None:
+        opts.register_dataclass(self, prefix)
+
+    def check(self) -> None:
+        assert self.beam > 0 and self.beam_width > 0 and self.arc_lanes > 1
+        assert self.max_active >= self.min_active

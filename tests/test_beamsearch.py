@@ -1,0 +1,145 @@
+"""Parity tests: TPU beam-search kernel vs the host gold decoder.
+
+This is the framework's analogue of the reference's decoder-vs-Kaldi parity
+axis (SURVEY §4): same graph + same loglikes ⇒ same best path (exact, with
+beams wide enough that pruning never differs)."""
+
+import numpy as np
+import pytest
+
+from asr_decoder_tpu.decoder.config import DecoderConfig
+from asr_decoder_tpu.decoder.gold import GoldDecoder
+from asr_decoder_tpu.fst.device_fst import DeviceFst
+from asr_decoder_tpu.fst.fst import StdFst
+from asr_decoder_tpu.ops.beamsearch import TpuBeamSearch
+
+
+def random_decode_graph(rng, num_states=30, num_labels=8, max_deg=4,
+                        eps_prob=0.25):
+    """Random connected WFST shaped like a decode graph: emitting arcs with
+    labels 1..num_labels, forward-only ε-arcs (acyclic ε-subgraph), random
+    olabels (words), final weights on a few states."""
+    src, dst, il, ol, w = [], [], [], [], []
+    for s in range(num_states):
+        # guarantee connectivity: arc to s+1
+        targets = [min(s + 1, num_states - 1)] + list(
+            rng.integers(0, num_states, rng.integers(0, max_deg)))
+        for d in targets:
+            if rng.random() < eps_prob and d > s:
+                src.append(s)
+                dst.append(int(d))
+                il.append(0)
+                ol.append(int(rng.integers(0, 5)))
+                w.append(float(rng.random() * 2))
+            else:
+                src.append(s)
+                dst.append(int(d))
+                il.append(int(rng.integers(1, num_labels + 1)))
+                ol.append(int(rng.integers(0, 5)))
+                w.append(float(rng.random() * 2))
+    finals = {num_states - 1: float(rng.random()),
+              num_states // 2: float(rng.random())}
+    return StdFst.from_final_weights(
+        num_states, 0, np.array(src), np.array(il), np.array(ol),
+        np.array(w), np.array(dst), finals)
+
+
+def _setup(rng, num_labels=8, **kw):
+    fst = random_decode_graph(rng, num_labels=num_labels, **kw)
+    dev = DeviceFst.build(fst, arc_lanes=8)
+    ilabel2pdf = np.arange(num_labels + 1, dtype=np.int32)
+    cfg = DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
+                        max_active=64, min_active=0, lattice_beam=1e9)
+    return fst, dev, ilabel2pdf, cfg
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_device_matches_gold_single(seed):
+    rng = np.random.default_rng(seed)
+    fst, dev, i2p, cfg = _setup(rng)
+    T, V = 15, 9
+    loglikes = rng.standard_normal((T, V)).astype(np.float32) * 3
+    gold = GoldDecoder(fst, i2p, cfg).decode(loglikes)
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes[None])
+    res = search.traceback(state, init_log, logs, fst)[0]
+    assert res["reached_final"] == gold.reached_final
+    assert res["cost"] == pytest.approx(gold.cost, abs=1e-3)
+    if gold.reached_final:
+        assert res["words"] == gold.words
+        assert res["ilabels"] == gold.ilabels
+
+
+def test_device_matches_gold_batched_varlen():
+    rng = np.random.default_rng(42)
+    fst, dev, i2p, cfg = _setup(rng)
+    B, Tmax, V = 4, 20, 9
+    lens = np.array([20, 13, 7, 17])
+    loglikes = rng.standard_normal((B, Tmax, V)).astype(np.float32) * 3
+    mask = np.arange(Tmax)[None, :] < lens[:, None]
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes, mask)
+    results = search.traceback(state, init_log, logs, fst)
+    for b in range(B):
+        gold = GoldDecoder(fst, i2p, cfg).decode(loglikes[b, :lens[b]])
+        assert results[b]["cost"] == pytest.approx(gold.cost, abs=1e-3), b
+        if gold.reached_final:
+            assert results[b]["words"] == gold.words, b
+
+
+def test_degree_split_preserves_paths():
+    """A state with out-degree ≫ arc_lanes must still decode exactly."""
+    rng = np.random.default_rng(7)
+    num_labels = 40
+    # one hub state with 40 emitting arcs
+    src = [0] * num_labels + [i + 1 for i in range(num_labels)]
+    il = list(range(1, num_labels + 1)) + [1] * num_labels
+    ol = list(range(1, num_labels + 1)) + [0] * num_labels
+    w = list(rng.random(2 * num_labels).astype(float))
+    dst = [i + 1 for i in range(num_labels)] + [num_labels + 1] * num_labels
+    fst = StdFst.from_final_weights(
+        num_labels + 2, 0, np.array(src), np.array(il), np.array(ol),
+        np.array(w), np.array(dst), {num_labels + 1: 0.5})
+    dev = DeviceFst.build(fst, arc_lanes=8)
+    assert dev.max_em_degree <= 8 and dev.max_eps_degree <= 8
+    assert dev.num_states > fst.num_states  # split happened
+    i2p = np.arange(num_labels + 1, dtype=np.int32)
+    cfg = DecoderConfig(beam=1e9, beam_width=128, arc_lanes=8,
+                        max_active=128, min_active=0)
+    T = 2
+    loglikes = rng.standard_normal((T, num_labels + 1)).astype(np.float32)
+    gold = GoldDecoder(fst, i2p, cfg).decode(loglikes)
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes[None])
+    res = search.traceback(state, init_log, logs, fst)[0]
+    assert res["cost"] == pytest.approx(gold.cost, abs=1e-4)
+    assert res["words"] == gold.words
+
+
+def test_narrow_beam_still_decodes():
+    """With a tight beam the device must return a valid (possibly different)
+    path — sanity that pruning keeps the machinery alive."""
+    rng = np.random.default_rng(3)
+    fst, dev, i2p, _ = _setup(rng)
+    cfg = DecoderConfig(beam=4.0, beam_width=16, arc_lanes=8,
+                        max_active=16, min_active=2)
+    T, V = 12, 9
+    loglikes = rng.standard_normal((T, V)).astype(np.float32)
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes[None])
+    res = search.traceback(state, init_log, logs, fst)[0]
+    assert np.isfinite(res["cost"])
+
+
+def test_gold_lattice_contains_best_path():
+    rng = np.random.default_rng(11)
+    fst, dev, i2p, cfg = _setup(rng)
+    T, V = 10, 9
+    loglikes = rng.standard_normal((T, V)).astype(np.float32) * 2
+    gold = GoldDecoder(fst, i2p, cfg).decode(loglikes, want_lattice=True)
+    assert gold.lattice is not None
+    assert gold.lattice.check_format()
+    words, ilabs, lm, am = gold.lattice.to_vector()
+    assert words == gold.words
+    if gold.reached_final:
+        assert lm + am == pytest.approx(gold.cost, abs=1e-3)
