@@ -1,11 +1,22 @@
 """Test harness: force an 8-virtual-device CPU platform so sharding tests run
-hermetically without TPU hardware (bench.py, not tests, uses the real chip)."""
+hermetically without TPU hardware (bench.py, not tests, uses the real chip).
+
+Note: the environment's sitecustomize registers the `axon` TPU-tunnel backend
+and calls jax.config.update("jax_platforms", "axon,cpu"), which overrides the
+JAX_PLATFORMS env var — so we must override the config, not just the env.
+Set ASR_TPU_TESTS=1 to run the suite against the real chip instead.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+if not os.environ.get("ASR_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
