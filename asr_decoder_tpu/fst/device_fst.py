@@ -62,6 +62,9 @@ class DeviceFst:
         """Split states so no state has more than ``arc_lanes`` emitting arcs
         or more than ``arc_lanes`` ε-arcs (counting the continuation link)."""
         assert arc_lanes >= 2
+        if fst.max_out_degree() <= arc_lanes:
+            # fast path: no splitting needed — vectorized CSR pack
+            return DeviceFst._build_nosplit(fst)
         n = fst.num_states
         src_all = np.repeat(np.arange(n, dtype=np.int64),
                             np.diff(fst.state_offset))
@@ -143,6 +146,38 @@ class DeviceFst:
             eps_offset=eps_off, eps_count=eps_cnt,
             eps_olabel=eps["olabel"], eps_weight=eps["weight"],
             eps_dst=eps["dst"], eps_arcid=eps["arcid"])
+        dev.eps_depth = dev._compute_eps_depth()
+        return dev
+
+    @staticmethod
+    def _build_nosplit(fst: StdFst) -> "DeviceFst":
+        """Vectorized pack when every state's total out-degree fits the
+        lanes (per-block degrees are then ≤ total, so both blocks fit)."""
+        n = fst.num_states
+        src_all = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(fst.state_offset))
+        is_eps = fst.arc_ilabel == EPSILON
+        arc_ids = np.arange(fst.num_arcs, dtype=np.int32)
+
+        def pack(mask):
+            src = src_all[mask]
+            counts = np.bincount(src, minlength=n).astype(np.int32)
+            offsets = np.zeros(n, np.int32)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            return (offsets, counts, fst.arc_ilabel[mask],
+                    fst.arc_olabel[mask], fst.arc_weight[mask],
+                    fst.arc_dst[mask], arc_ids[mask])
+
+        # arcs are already grouped by src (CSR) so masking preserves order
+        em_off, em_cnt, em_il, em_ol, em_w, em_d, em_id = pack(~is_eps)
+        eps_off, eps_cnt, _, eps_ol, eps_w, eps_d, eps_id = pack(is_eps)
+        dev = DeviceFst(
+            start=fst.start, final_state=fst.final_state, num_states=n,
+            eps_depth=0,
+            em_offset=em_off, em_count=em_cnt, em_ilabel=em_il,
+            em_olabel=em_ol, em_weight=em_w, em_dst=em_d, em_arcid=em_id,
+            eps_offset=eps_off, eps_count=eps_cnt, eps_olabel=eps_ol,
+            eps_weight=eps_w, eps_dst=eps_d, eps_arcid=eps_id)
         dev.eps_depth = dev._compute_eps_depth()
         return dev
 
