@@ -33,6 +33,10 @@ class DeviceFst:
     final_state: int
     num_states: int
     eps_depth: int
+    # maps each (possibly split) device state to the original StdFst state
+    # it represents — continuation states inherit their source state's id,
+    # so host-side lattice reconstruction can fold them back
+    orig_state: np.ndarray   # i32[num_states]
     # emitting block
     em_offset: np.ndarray    # i32[num_states]
     em_count: np.ndarray     # i32[num_states]
@@ -79,6 +83,8 @@ class DeviceFst:
                    float(fst.arc_weight[a]), int(fst.arc_dst[a]), int(a))
             (eps_lists if is_eps[a] else em_lists)[int(src_all[a])].append(rec)
 
+        origin = list(range(n))
+
         def _split(lists_em, lists_eps):
             """Iteratively split any state with > arc_lanes arcs in a block:
             keep the first arc_lanes-1, push the rest to a new continuation
@@ -95,6 +101,7 @@ class DeviceFst:
                         cont = len(lists_em)
                         lists_em.append([])
                         lists_eps.append([])
+                        origin.append(origin[s])
                         if lists is lists_eps:
                             lists[s] = keep + [(EPSILON, EPSILON, 0.0, cont, -1)]
                             lists_eps[cont] = rest
@@ -139,7 +146,7 @@ class DeviceFst:
 
         dev = DeviceFst(
             start=fst.start, final_state=fst.final_state, num_states=nn,
-            eps_depth=0,
+            eps_depth=0, orig_state=np.array(origin, np.int32),
             em_offset=em_off, em_count=em_cnt,
             em_ilabel=em["ilabel"], em_olabel=em["olabel"],
             em_weight=em["weight"], em_dst=em["dst"], em_arcid=em["arcid"],
@@ -173,7 +180,7 @@ class DeviceFst:
         eps_off, eps_cnt, _, eps_ol, eps_w, eps_d, eps_id = pack(is_eps)
         dev = DeviceFst(
             start=fst.start, final_state=fst.final_state, num_states=n,
-            eps_depth=0,
+            eps_depth=0, orig_state=np.arange(n, dtype=np.int32),
             em_offset=em_off, em_count=em_cnt, em_ilabel=em_il,
             em_olabel=em_ol, em_weight=em_w, em_dst=em_d, em_arcid=em_id,
             eps_offset=eps_off, eps_count=eps_cnt, eps_olabel=eps_ol,

@@ -283,13 +283,21 @@ class Lattice:
         return path
 
     def to_vector(self) -> tuple[list[int], list[int], float, float]:
-        """Best path → (words, ilabels, lm_score, am_score);
+        """Best path → (words, ilabels, lm_score, am_score) including the
+        terminal state's final weight;
         ref: LatticeToVector (lattice-functions.cc:179-227)."""
         path = self.shortest_path()
         words = [a.olabel for a in path if a.olabel != EPSILON]
         ilabs = [a.ilabel for a in path if a.ilabel != EPSILON]
         lm = sum(a.weight.value1 for a in path)
         am = sum(a.weight.value2 for a in path)
+        end = self.start
+        for a in path:
+            end = a.dst
+        if end != NO_STATE and self.is_final(end):
+            fw = self.final(end)
+            lm += fw.value1
+            am += fw.value2
         return words, ilabs, lm, am
 
     def add_super_final(self) -> int:

@@ -69,8 +69,20 @@ class BeamState(NamedTuple):
 
 
 class FrameLog(NamedTuple):
-    prev_slot: jax.Array   # i32[stages,B,K]
-    arc_id: jax.Array      # i32[stages,B,K]
+    """Per-frame search log.
+
+    ``prev_slot``/``arc_id`` are the best-path backpointers per pruning stage
+    (host ``traceback`` ≡ ref GetBestPath).  ``tok_state``/``tok_cost`` are
+    the post-frame surviving-token snapshots — all the host needs to
+    reconstruct the raw lattice exactly (ref GetRawLattice,
+    online-decoder-base-inl.h:869-977): the lattice's ForwardLinks are
+    re-derivable from the CSR graph + loglikes, so the device never logs
+    links (SURVEY §7 'lattice fidelity').
+    """
+    prev_slot: jax.Array   # i32[stages,B,K]    (advance: [T,stages,B,K])
+    arc_id: jax.Array      # i32[stages,B,K]    (advance: [T,stages,B,K])
+    tok_state: jax.Array   # i32[B,K]           (advance: [T,B,K])
+    tok_cost: jax.Array    # f32[B,K]           (advance: [T,B,K])
 
 
 def make_graph_arrays(dev: DeviceFst, ilabel2pdf: np.ndarray) -> GraphArrays:
@@ -230,7 +242,7 @@ def _init_fn(g: GraphArrays, batch: int, static_cfg: tuple):
     closure = jax.vmap(lambda s, c: _eps_closure(g, s, c, cfg_static=cfg))
     state, cost, (prev, aid) = closure(state, cost)
     return BeamState(state, cost), FrameLog(
-        jnp.swapaxes(prev, 0, 1), jnp.swapaxes(aid, 0, 1))
+        jnp.swapaxes(prev, 0, 1), jnp.swapaxes(aid, 0, 1), state, cost)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -254,13 +266,14 @@ def _advance_fn(g: GraphArrays, state: BeamState, inputs, static_cfg: tuple):
         prev = jnp.where(m3, prev, slot_id)
         aid = jnp.where(m3, aid, ARC_STAY)
         return (ns, nc), (jnp.swapaxes(prev, 0, 1),
-                          jnp.swapaxes(aid, 0, 1))
+                          jnp.swapaxes(aid, 0, 1), ns, nc)
 
     lls = jnp.swapaxes(loglikes, 0, 1)             # [T,B,V]
     masks = jnp.swapaxes(frame_mask, 0, 1)         # [T,B]
-    (st, co), (prevs, aids) = jax.lax.scan(
+    (st, co), (prevs, aids, toks, costs) = jax.lax.scan(
         scan_body, (state.tok_state, state.tok_cost), (lls, masks))
-    return BeamState(st, co), FrameLog(prevs, aids)  # logs [T,S,B,K]
+    # logs: prev/aid [T,S,B,K]; token snapshots [T,B,K]
+    return BeamState(st, co), FrameLog(prevs, aids, toks, costs)
 
 
 class TpuBeamSearch:
@@ -277,6 +290,7 @@ class TpuBeamSearch:
         self.config = config or DecoderConfig()
         self.config.check()
         self.dev = dev
+        self._ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
         self.graph = make_graph_arrays(dev, ilabel2pdf)
         eps_iters = self.config.eps_iters or dev.eps_depth
         assert dev.max_em_degree <= self.config.arc_lanes, \
@@ -313,6 +327,50 @@ class TpuBeamSearch:
         state, init_log = self.init_state(B)
         state, logs = self.advance(state, loglikes, frame_mask)
         return state, init_log, logs
+
+    # -- host-side raw lattice (ref GetRawLattice inl.h:869-977) -----------
+    def token_sets(self, init_log: FrameLog, logs: FrameLog, b: int,
+                   num_frames: int | None = None) -> list[dict[int, float]]:
+        """Per-frame surviving-token sets {orig_state: cost} for utterance
+        ``b``, folding split continuation states back to their source state
+        (they are ε-0 copies, so min-merge is exact)."""
+        orig = self.dev.orig_state
+        T = logs.tok_state.shape[0]
+        if num_frames is None:
+            num_frames = T
+        out = []
+        snaps = [(np.asarray(init_log.tok_state[b]),
+                  np.asarray(init_log.tok_cost[b]))]
+        snaps += [(np.asarray(logs.tok_state[t, b]),
+                   np.asarray(logs.tok_cost[t, b]))
+                  for t in range(num_frames)]
+        for st, co in snaps:
+            ok = (st >= 0) & np.isfinite(co)
+            toks: dict[int, float] = {}
+            for s, c in zip(orig[st[ok]], co[ok]):
+                s = int(s)
+                c = float(c)
+                if c < toks.get(s, np.inf):
+                    toks[s] = c
+            out.append(toks)
+        return out
+
+    def get_lattices(self, init_log: FrameLog, logs: FrameLog,
+                     loglikes, fst, frame_mask=None):
+        """Reconstruct pruned raw lattices for every utterance from the
+        device token snapshots (see decoder/raw_lattice.py).  ``fst`` is the
+        source StdFst; ``loglikes`` f32[B,T,V] as given to ``advance``."""
+        from asr_decoder_tpu.decoder.raw_lattice import \
+            lattice_from_token_sets
+        loglikes = np.asarray(loglikes)
+        B, T = loglikes.shape[:2]
+        lens = (np.asarray(frame_mask).sum(axis=1).astype(int)
+                if frame_mask is not None else np.full(B, T))
+        i2p = np.asarray(self._ilabel2pdf, np.int64)
+        return [lattice_from_token_sets(
+                    fst, self.token_sets(init_log, logs, b, int(lens[b])),
+                    loglikes[b, :int(lens[b])], i2p, self.config)
+                for b in range(B)]
 
     # -- host-side best path (ref GetBestPath / TraceBackBestPath,
     #    online-decoder-base-inl.h:1072-1161) ------------------------------

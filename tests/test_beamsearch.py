@@ -131,6 +131,46 @@ def test_narrow_beam_still_decodes():
     assert np.isfinite(res["cost"])
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_device_lattice_matches_gold(seed):
+    """With wide beams the device token sets equal gold's, and both run the
+    same host lattice builder ⇒ byte-identical lattices."""
+    rng = np.random.default_rng(seed)
+    fst, dev, i2p, cfg = _setup(rng)
+    cfg.lattice_beam = 8.0
+    T, V = 12, 9
+    loglikes = rng.standard_normal((T, V)).astype(np.float32) * 3
+    gold = GoldDecoder(fst, i2p, cfg).decode(loglikes, want_lattice=True)
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes[None])
+    lat = search.get_lattices(init_log, logs, loglikes[None], fst)[0]
+    assert lat is not None and gold.lattice is not None
+    assert sorted(lat.to_text().splitlines()) == \
+        sorted(gold.lattice.to_text().splitlines())
+    words, ilabs, lm, am = lat.to_vector()
+    assert words == gold.words
+
+
+def test_device_lattice_batched_with_split_states():
+    """Lattices survive degree-splitting (orig_state fold) and padding."""
+    rng = np.random.default_rng(9)
+    fst, dev, i2p, cfg = _setup(rng, max_deg=12)  # force splits w/ lanes=8
+    cfg.lattice_beam = 6.0
+    B, Tmax, V = 3, 14, 9
+    lens = np.array([14, 9, 5])
+    loglikes = rng.standard_normal((B, Tmax, V)).astype(np.float32) * 2
+    mask = np.arange(Tmax)[None, :] < lens[:, None]
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes, mask)
+    lats = search.get_lattices(init_log, logs, loglikes, fst, mask)
+    for b in range(B):
+        gold = GoldDecoder(fst, i2p, cfg).decode(
+            loglikes[b, :lens[b]], want_lattice=True)
+        assert lats[b] is not None
+        assert sorted(lats[b].to_text().splitlines()) == \
+            sorted(gold.lattice.to_text().splitlines()), b
+
+
 def test_gold_lattice_contains_best_path():
     rng = np.random.default_rng(11)
     fst, dev, i2p, cfg = _setup(rng)

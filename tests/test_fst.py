@@ -117,7 +117,8 @@ def test_lattice_shortest_path_picks_min():
     words, ilabs, lm, am = lat.to_vector()
     assert words == [200, 300]
     assert ilabs == [2, 3]
-    assert lm == pytest.approx(0.5)
+    # scores include the terminal final weight (0.25 graph)
+    assert lm == pytest.approx(0.75)
     assert am == pytest.approx(1.5)
 
 
