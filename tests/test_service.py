@@ -1,0 +1,115 @@
+"""Service tests: protocol pack/unpack round-trip (ref:
+src/service2/net-data-package-test.cc) and a real server+client end-to-end
+decode over localhost TCP (ref: service2bin/run.sh smoke + thread-client
+load generation), checked against a direct session decode."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from asr_decoder_tpu.serving.client import AsyncAsrClient, load_generate
+from asr_decoder_tpu.serving.protocol import (C2SPackage, DType, EndFlag,
+                                              NbestResult, S2CPackage,
+                                              SampleRate)
+from asr_decoder_tpu.serving.server import AsrServer, SocketConfig
+from asr_decoder_tpu.serving.session import OnlineDecoderSession
+
+from test_session import make_info, make_wave
+
+
+def test_c2s_roundtrip():
+    rng = np.random.default_rng(0)
+    samples = (rng.standard_normal(1000) * 3000).astype(np.int16)
+    pkg = C2SPackage.from_samples(samples, dtype=DType.SHORT,
+                                  audio_head=True, nbest=5, end_flag=True,
+                                  n=7, lattice=True)
+    raw = pkg.pack()
+    got, dlen = C2SPackage.unpack_head(raw[:C2SPackage.head_size()])
+    got.data = raw[C2SPackage.head_size():]
+    assert dlen == len(got.data) == 2 * len(samples)
+    assert got.audio_head and got.end_flag and got.lattice
+    assert got.nbest == 5 and got.n == 7
+    assert got.sample_rate == SampleRate.K16
+    np.testing.assert_array_equal(got.samples(), samples.astype(np.float32))
+
+
+def test_s2c_roundtrip():
+    pkg = S2CPackage(end_flag=EndFlag.MIDDLEEND,
+                     results=[NbestResult("hello world", 1.5, -2.5, [3, 4]),
+                              NbestResult("hello", 2.0, -1.0, [3])],
+                     lattice=b"\x00\x01lattice-bytes")
+    got = S2CPackage.unpack(pkg.pack())
+    assert got.end_flag == EndFlag.MIDDLEEND
+    assert got.one_best() == "hello world"
+    assert got.results[0].words == [3, 4]
+    assert got.results[1].am_cost == pytest.approx(-1.0)
+    assert got.lattice == pkg.lattice
+
+
+def test_c2s_nbest_cap():
+    with pytest.raises(ValueError):
+        C2SPackage(nbest=64).pack()
+
+
+@pytest.fixture(scope="module")
+def info():
+    return make_info()
+
+
+def test_server_end_to_end(info):
+    wave = make_wave(7)
+    ref_session = OnlineDecoderSession(info)
+    ref_session.process_data(wave, eos=True)
+    want_best = ref_session.get_best_path_txt()
+    want_nbest = ref_session.get_nbest_txt(3)
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0, nthread=4))
+        host, port = await server.start()
+        try:
+            client = AsyncAsrClient(host, port)
+            await client.connect()
+            replies = []
+            pcm = wave.astype(np.int16)
+            for off in range(0, len(pcm), 4000):
+                end = off + 4000 >= len(pcm)
+                replies.append(await client.send_chunk(
+                    pcm[off:off + 4000], end=end, nbest=3))
+            await client.close()
+            return replies, server.total
+        finally:
+            await server.stop()
+
+    replies, total = asyncio.run(run())
+    assert all(r.end_flag == EndFlag.NOEND for r in replies[:-1])
+    final = replies[-1]
+    assert final.end_flag == EndFlag.END
+    assert final.one_best() == want_best
+    assert [r.text for r in final.results] == want_nbest
+    assert total.wav_seconds == pytest.approx(len(wave) / 16000, rel=0.01)
+    assert total.work_seconds > 0
+
+
+def test_server_load_generator(info):
+    waves = [make_wave(s, n=8000) for s in range(4)]
+    want = []
+    for w in waves:
+        s = OnlineDecoderSession(info)
+        s.process_data(w, eos=True)
+        want.append(s.get_best_path_txt())
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0, nthread=4))
+        host, port = await server.start()
+        try:
+            return await load_generate(waves, concurrency=2,
+                                       host=host, port=port)
+        finally:
+            await server.stop()
+
+    stats = asyncio.run(run())
+    assert stats.utts == 4
+    assert stats.wav_seconds == pytest.approx(sum(len(w) for w in waves)
+                                              / 16000, rel=0.01)
+    assert sorted(stats.texts) == sorted(want)

@@ -1,0 +1,137 @@
+"""Streaming session tests: stream-vs-offline equivalence (the reference's
+primary verification axis, SURVEY §4) + partial results, n-best, endpointing
+(ref session API: src/kaldi-nnet3/kaldi-online-nnet3-my-decoder.h:233-344)."""
+
+import jax
+import numpy as np
+import pytest
+
+from asr_decoder_tpu.decoder.config import DecoderConfig
+from asr_decoder_tpu.frontend.fbank import FbankConfig
+from asr_decoder_tpu.fst.symbol import SymbolTable
+from asr_decoder_tpu.models.flagship import make_flagship
+from asr_decoder_tpu.serving.session import (FeatureBuffer,
+                                             OnlineDecoderConfig,
+                                             OnlineDecoderInfo,
+                                             OnlineDecoderSession)
+from asr_decoder_tpu.vad.energy import EnergyVadConfig
+
+from test_beamsearch import random_decode_graph
+
+
+def make_info(seed=0, **online_kw):
+    rng = np.random.default_rng(seed)
+    num_labels = 15
+    fst = random_decode_graph(rng, num_states=40, num_labels=num_labels)
+    nnet = make_flagship(jax.random.PRNGKey(seed), feat_dim=16, num_pdfs=16,
+                         hidden=16, proj=8, num_layers=1, context=1)
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for i in range(1, 6):
+        words.add(f"w{i}", i)
+    i2p = np.arange(num_labels + 1, dtype=np.int32)
+    return OnlineDecoderInfo(
+        nnet, fst, words, i2p,
+        decoder_config=DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
+                                     min_active=0, lattice_beam=8.0),
+        online_config=OnlineDecoderConfig(chunk_frames=16, **online_kw),
+        fbank_config=FbankConfig(num_bins=16))
+
+
+def make_wave(seed=0, n=16000, amp=4000.0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * amp).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def info():
+    return make_info()
+
+
+def test_stream_vs_offline_equivalence(info):
+    wave = make_wave()
+    off = OnlineDecoderSession(info)
+    off.process_data(wave, eos=True)
+    ref = off.get_best_path()
+    assert off.num_frames_decoded > 50
+
+    for splits in ([4000, 9000], [160, 2500, 10000, 15555], [16000]):
+        s = OnlineDecoderSession(info)
+        prev = 0
+        for cut in splits:
+            s.process_data(wave[prev:cut])
+            prev = cut
+        s.process_data(wave[prev:], eos=True)
+        res = s.get_best_path()
+        assert res["words"] == ref["words"]
+        assert res["cost"] == pytest.approx(ref["cost"], abs=1e-3)
+        assert s.num_frames_decoded == off.num_frames_decoded
+
+
+def test_partial_then_final(info):
+    wave = make_wave(1)
+    s = OnlineDecoderSession(info)
+    s.process_data(wave[:8000])
+    partial = s.get_best_path()
+    assert partial["cost"] < np.inf and s.num_frames_decoded > 0
+    s.process_data(wave[8000:], eos=True)
+    final = s.get_best_path()
+    assert final["reached_final"]
+    txt = s.get_best_path_txt()
+    assert isinstance(txt, str)
+
+
+def test_nbest_first_is_best(info):
+    s = OnlineDecoderSession(info)
+    s.process_data(make_wave(2), eos=True)
+    best = s.get_best_path()
+    nbest = s.get_nbest(4)
+    assert len(nbest) >= 1
+    assert nbest[0]["words"] == best["words"]
+    costs = [r["graph_cost"] + r["am_cost"] for r in nbest]
+    assert costs == sorted(costs)
+    assert s.get_nbest_txt(2)[0] == s.get_best_path_txt()
+
+
+def test_reset_and_reinit(info):
+    wave = make_wave(3)
+    s = OnlineDecoderSession(info)
+    s.process_data(wave, eos=True)
+    first = s.get_best_path()
+    s.reset()
+    s.process_data(wave, eos=True)
+    again = s.get_best_path()
+    assert again["words"] == first["words"]
+    assert again["cost"] == pytest.approx(first["cost"], abs=1e-3)
+    # init_decoding keeps AM state but restarts the search
+    s.init_decoding()
+    assert s.num_frames_decoded == 0
+    assert s.get_best_path()["words"] == []
+
+
+def test_endpoint_detection():
+    info = make_info(use_energy_vad=True, endpoint_sil_frames=20,
+                     min_endpoint_frames=10)
+    s = OnlineDecoderSession(info)
+    speech = make_wave(4, n=12000, amp=6000.0)
+    sil = np.zeros(12000, np.float32)
+    s.process_data(speech)
+    assert not s.endpoint_detected()
+    s.process_data(sil)
+    assert s.endpoint_detected()
+
+
+def test_feature_buffer_exactly_once():
+    buf = FeatureBuffer(left=2, right=2, offsets=(-2, -1, 0, 1, 2))
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((20, 3)).astype(np.float32)
+    # offline
+    off = FeatureBuffer(2, 2, (-2, -1, 0, 1, 2))
+    whole = off.accept(feats, end=True)
+    assert whole.shape == (20, 15)
+    # streamed in ragged chunks
+    outs = [buf.accept(feats[:1]), buf.accept(feats[1:7]),
+            buf.accept(feats[7:7]), buf.accept(feats[7:19]),
+            buf.accept(feats[19:], end=True)]
+    got = np.concatenate([o for o in outs if o.size], axis=0)
+    np.testing.assert_allclose(got, whole, rtol=0, atol=0)
