@@ -1,0 +1,275 @@
+"""Batched multi-stream decoding: channel arena + dynamic batcher.
+
+Capability parity with the reference GPU batched pipeline — corr-id-keyed
+chunk push into a dynamic batcher that packs many streaming channels into one
+device dispatch (ref: src/gpu-asr/v1-gpu-kaldi-worker-pool.h:20-202 wrapping
+Kaldi BatchedThreadedNnet3CudaOnlinePipeline + CudaOnlinePipelineDynamicBatcher,
+conf: --max-batch-size=300 --num-channels=900, src/gpu-asr/conf/config.txt).
+Channel slots have an explicit acquire/release lifecycle, fixing the
+reference's corr-id reuse race (ref: gpu-asr/README "to do").
+
+TPU-first design: all per-channel device state lives in fixed-shape arenas —
+beam state i32/f32[B,K], LSTM carries f32[B,H] — and one jitted step advances
+every channel at once; idle channels ride along fully masked (frame_mask
+False ⇒ beam state provably unchanged; LSTM carries are where-merged back).
+So N streams cost one XLA dispatch per tick regardless of N ≤ B, and the
+program never recompiles as channels come and go.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_decoder_tpu.ops.beamsearch import BeamState, FrameLog
+from asr_decoder_tpu.serving.session import FeatureBuffer, OnlineDecoderInfo
+from asr_decoder_tpu.frontend.fbank import StreamingFbank, live_cmvn
+from asr_decoder_tpu.models.layers import init_layer_state
+from asr_decoder_tpu.models.nnet import am_forward
+
+
+@dataclass
+class _Channel:
+    """Host-side per-channel streaming state (the corr-id keyed stream,
+    ref: v1-gpu-kaldi-worker-pool.h:74-190)."""
+    fbank: StreamingFbank
+    featbuf: FeatureBuffer
+    cmvn_state: object = None
+    skip_phase: int = 0
+    pending: list[np.ndarray] = field(default_factory=list)
+    pending_frames: int = 0
+    eos: bool = False
+    drained: bool = False          # eos fully scored
+    chunk_logs: list[FrameLog] = field(default_factory=list)
+    loglikes: list[np.ndarray] = field(default_factory=list)
+    frames_decoded: int = 0
+
+
+def _tree_where(mask_b, new, old):
+    """Per-leaf jnp.where over batch-leading pytrees, mask bool[B]."""
+    def sel(n, o):
+        m = mask_b.reshape((-1,) + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+class BatchedStreamingDecoder:
+    """Up to ``num_channels`` concurrent streams through one device program.
+
+    push(cid, pcm, eos) is host-side frontend work; step() performs exactly
+    one batched AM forward + search advance over every channel with ready
+    frames (the DynamicBatcher::Push/compute cycle).
+    """
+
+    def __init__(self, info: OnlineDecoderInfo, num_channels: int):
+        self.info = info
+        self.B = num_channels
+        self._channels: list[_Channel | None] = [None] * num_channels
+        self._free = list(range(num_channels))[::-1]
+        # device arenas
+        beam, init_log = info.search.init_state(num_channels)
+        self._beam = beam
+        # init rows are identical across the arena: keep row 0 as template
+        self._init_log_row = jax.tree_util.tree_map(
+            lambda a: np.asarray(a[:, :1] if a.ndim == 3 else a[:1]),
+            init_log)
+        self._beam_init_row = jax.tree_util.tree_map(
+            lambda a: a[:1], beam)
+        self._am_state = [init_layer_state(l, num_channels)
+                          for l in info.am_layers]
+        self._am_zero_row = [init_layer_state(l, 1) for l in info.am_layers]
+        C = info.config.chunk_frames
+        D = info.am_layers[0].input_dim if info.am_layers else 0
+        self._feat_dim = D
+        self._zeros_chunk = np.zeros((C, D), np.float32)
+
+    # -- channel lifecycle (explicit slots; no corr-id collisions) ---------
+    def acquire(self) -> int:
+        if not self._free:
+            raise RuntimeError("no free channels")
+        cid = self._free.pop()
+        info = self.info
+        self._channels[cid] = _Channel(
+            fbank=StreamingFbank(info.fbank_config, batch=1),
+            featbuf=FeatureBuffer(info.left, info.right, info.splice_offsets))
+        self._reset_rows([cid])
+        return cid
+
+    def release(self, cid: int) -> None:
+        assert self._channels[cid] is not None, "double release"
+        self._channels[cid] = None
+        self._free.append(cid)
+
+    def _reset_rows(self, cids: list[int]) -> None:
+        """Reset beam + AM arena rows for the given channels."""
+        idx = jnp.asarray(np.asarray(cids, np.int32))
+        self._beam = BeamState(*(
+            a.at[idx].set(jnp.broadcast_to(r, (len(cids),) + r.shape[1:]))
+            for a, r in zip(self._beam, self._beam_init_row)))
+        self._am_state = [
+            {k: v.at[idx].set(jnp.broadcast_to(z[k],
+                                               (len(cids),) + z[k].shape[1:]))
+             for k, v in st.items()} if st else st
+            for st, z in zip(self._am_state, self._am_zero_row)]
+
+    # -- streaming input (host frontend, ref DynamicBatcher::Push) ---------
+    def push(self, cid: int, pcm: np.ndarray, eos: bool = False) -> None:
+        ch = self._channels[cid]
+        assert ch is not None and not ch.eos
+        info = self.info
+        pcm = np.asarray(pcm, np.float32).reshape(1, -1)
+        feats = np.asarray(ch.fbank.accept(pcm, end=eos))[0]
+        if info.cmvn_config is not None and feats.shape[0]:
+            normed, ch.cmvn_state = live_cmvn(
+                info.cmvn_config, jnp.asarray(feats)[None], ch.cmvn_state)
+            feats = np.asarray(normed)[0]
+        spliced = ch.featbuf.accept(feats, end=eos)
+        skip = info.am_config.skip
+        if skip and spliced.shape[0]:
+            sel = (np.arange(spliced.shape[0]) + ch.skip_phase) \
+                % (skip + 1) == 0
+            ch.skip_phase = (ch.skip_phase + spliced.shape[0]) % (skip + 1)
+            spliced = spliced[sel]
+        if spliced.shape[0]:
+            ch.pending.append(spliced)
+            ch.pending_frames += spliced.shape[0]
+        if eos:
+            ch.eos = True
+            if ch.pending_frames == 0:
+                ch.drained = True
+
+    def ready(self, cid: int) -> bool:
+        """Channel has a full chunk (or an EOS flush) waiting."""
+        ch = self._channels[cid]
+        if ch is None or ch.drained:
+            return False
+        C = self.info.config.chunk_frames
+        return ch.pending_frames >= C or (ch.eos and ch.pending_frames > 0)
+
+    def pending_work(self) -> bool:
+        return any(self.ready(c) for c in range(self.B)
+                   if self._channels[c] is not None)
+
+    # -- the batched device step -------------------------------------------
+    def step(self) -> list[int]:
+        """One batched AM+search dispatch over every ready channel.
+        Returns the channel ids that advanced."""
+        info = self.info
+        C = info.config.chunk_frames
+        feats = np.zeros((self.B, C, self._feat_dim), np.float32)
+        valid = np.zeros(self.B, np.int32)
+        advanced: list[int] = []
+        for cid in range(self.B):
+            if not self.ready(cid):
+                continue
+            ch = self._channels[cid]
+            buf = np.concatenate(ch.pending, axis=0)
+            take, rest = buf[:C], buf[C:]
+            ch.pending = [rest] if rest.shape[0] else []
+            ch.pending_frames = rest.shape[0]
+            v = take.shape[0]
+            if v < C:
+                take = np.concatenate(
+                    [take, np.repeat(take[-1:], C - v, axis=0)], axis=0)
+            feats[cid] = take
+            valid[cid] = v
+            advanced.append(cid)
+            if ch.eos and ch.pending_frames == 0:
+                ch.drained = True
+        if not advanced:
+            return []
+        ac = info.am_config
+        loglikes, new_am = am_forward(
+            info.am_layers, jnp.asarray(feats), self._am_state,
+            do_softmax=ac.do_softmax, do_log=ac.do_log,
+            sub_prior=ac.sub_prior, block_pdf_pdfid=ac.block_pdf_pdfid,
+            block_scale=ac.block_scale, skip_block=ac.skip_block)
+        active = jnp.asarray(valid > 0)
+        # idle channels keep their LSTM carries bit-exactly
+        self._am_state = [
+            _tree_where(active, n, o) if o else o
+            for n, o in zip(new_am, self._am_state)]
+        mask = np.arange(C)[None, :] < valid[:, None]
+        self._beam, log = info.search.advance(
+            self._beam, loglikes, jnp.asarray(mask))
+        # split the batched log into per-channel chunks (host side)
+        log_np = FrameLog(*(np.asarray(a) for a in log))
+        ll_np = np.asarray(loglikes)
+        for cid in advanced:
+            v = int(valid[cid])
+            ch = self._channels[cid]
+            ch.chunk_logs.append(FrameLog(
+                log_np.prev_slot[:v, :, cid:cid + 1],
+                log_np.arc_id[:v, :, cid:cid + 1],
+                log_np.tok_state[:v, cid:cid + 1],
+                log_np.tok_cost[:v, cid:cid + 1]))
+            ch.loglikes.append(ll_np[cid, :v])
+            ch.frames_decoded += v
+        return advanced
+
+    def drain(self) -> None:
+        """Run steps until no channel has ready work."""
+        while self.pending_work():
+            self.step()
+
+    # -- results -------------------------------------------------------------
+    def _channel_beam(self, cid: int) -> BeamState:
+        return BeamState(*(a[cid:cid + 1] for a in self._beam))
+
+    def _merged_logs(self, cid: int) -> FrameLog | None:
+        ch = self._channels[cid]
+        if not ch.chunk_logs:
+            return None
+        return FrameLog(*(np.concatenate(
+            [getattr(l, f) for l in ch.chunk_logs], axis=0)
+            for f in FrameLog._fields))
+
+    def _init_log(self) -> FrameLog:
+        return FrameLog(*self._init_log_row)
+
+    def get_best_path(self, cid: int) -> dict:
+        logs = self._merged_logs(cid)
+        if logs is None:
+            return dict(arc_ids=[], cost=0.0, words=[], ilabels=[],
+                        reached_final=False)
+        return self.info.search.traceback(
+            self._channel_beam(cid), self._init_log(), logs,
+            self.info.fst)[0]
+
+    def get_best_path_txt(self, cid: int) -> str:
+        res = self.get_best_path(cid)
+        return " ".join(self.info.words.words(res.get("words", [])))
+
+    def get_lattice(self, cid: int, determinize: bool = True):
+        from asr_decoder_tpu.fst.determinize import (DeterminizeError,
+                                                     determinize_lattice)
+        logs = self._merged_logs(cid)
+        ch = self._channels[cid]
+        if logs is None:
+            return None
+        lls = np.concatenate(ch.loglikes, axis=0)[None]
+        lat = self.info.search.get_lattices(
+            self._init_log(), logs, lls, self.info.fst,
+            frame_mask=np.ones((1, lls.shape[1]), bool))[0]
+        if determinize and lat.num_states:
+            try:
+                lat = determinize_lattice(lat)
+            except DeterminizeError:
+                pass
+        return lat
+
+    def get_nbest(self, cid: int, n: int) -> list[dict]:
+        from asr_decoder_tpu.fst.nbest import nshortest
+        lat = self.get_lattice(cid, determinize=True)
+        if lat is None or not lat.num_states:
+            return []
+        out = []
+        for p in nshortest(lat, n):
+            words = [a.olabel for a in p.arcs if a.olabel != 0]
+            out.append(dict(words=words,
+                            text=" ".join(self.info.words.words(words)),
+                            graph_cost=p.graph_cost, am_cost=p.am_cost))
+        return out
