@@ -31,8 +31,23 @@ class DecoderConfig:
         16, "Padded emitting/eps arcs per token lane; states with higher "
             "out-degree are split at graph load")
     eps_iters: int = flag(
-        0, "Epsilon-closure sweeps per frame; 0 = use the graph's exact "
-           "eps depth computed at load")
+        0, "Epsilon-closure sweeps per frame (sweeps mode); 0 = use the "
+           "graph's exact eps depth computed at load")
+    eps_mode: str = flag(
+        "auto", "Device epsilon handling: 'closure' = one precomputed "
+                "closure-table relaxation per frame, 'sweeps' = eps-depth "
+                "bounded relaxation sweeps, 'auto' = closure unless the "
+                "graph's closure fan-out exceeds closure_lanes_max")
+    closure_lanes_max: int = flag(
+        32, "auto eps_mode falls back to sweeps when any state has more "
+            "epsilon-closure entries than this")
+    log_snapshots: bool = flag(
+        True, "Log per-frame token snapshots (needed for lattices; turn "
+              "off for best-path-only throughput serving)")
+    gather_impl: str = flag(
+        "", "Acoustic-score gather implementation: '' = auto (Pallas "
+            "lane-chunk kernel on TPU, XLA elsewhere), 'pallas', "
+            "'interpret' (Pallas interpreter, tests), 'xla'")
 
     def register(self, opts: ConfigOptions, prefix: str = "") -> None:
         opts.register_dataclass(self, prefix)

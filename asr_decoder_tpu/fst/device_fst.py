@@ -13,7 +13,8 @@ are kept in two separate CSR blocks so ProcessEmitting / ProcessNonemitting
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import heapq
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -52,6 +53,18 @@ class DeviceFst:
     eps_weight: np.ndarray
     eps_dst: np.ndarray
     eps_arcid: np.ndarray
+    # ε-closure block (lazily built by ``build_closure``): for each state s,
+    # entries are the *proper* ε-reachable states (s itself is implicit) with
+    # their best ε-path weight; ``clo_paths[i]`` is the original-arc-id
+    # sequence of entry i's best ε-path (split-chain links dropped).  This
+    # turns the reference's per-frame ε worklist (ProcessNonemitting,
+    # ref: src/my-decoder/online-decoder-base-inl.h:354-437) into a single
+    # precomputed relaxation stage on device.
+    clo_offset: np.ndarray | None = None   # i32[num_states]
+    clo_count: np.ndarray | None = None    # i32[num_states]
+    clo_dst: np.ndarray | None = None      # i32[num_clo]
+    clo_weight: np.ndarray | None = None   # f32[num_clo]
+    clo_paths: list = field(default_factory=list)  # list[np.ndarray]
 
     @property
     def max_em_degree(self) -> int:
@@ -190,7 +203,9 @@ class DeviceFst:
 
     def _compute_eps_depth(self, max_iters: int = 256) -> int:
         """Longest ε-chain in the (possibly split) graph — the number of
-        bounded relaxation sweeps ProcessNonemitting needs per frame."""
+        bounded relaxation sweeps ProcessNonemitting needs per frame.
+        Returns -1 if the ε-subgraph is cyclic (sweeps mode then cannot be
+        used; the ε-closure table tolerates non-negative ε-cycles)."""
         if len(self.eps_dst) == 0:
             return 0
         esrc = np.repeat(np.arange(self.num_states, dtype=np.int64),
@@ -203,14 +218,78 @@ class DeviceFst:
             if np.array_equal(nd, depth):
                 return int(depth.max())
             depth = nd
-        raise ValueError("epsilon cycle detected in decode graph")
+        return -1
 
-    def to_arrays(self) -> dict[str, np.ndarray]:
-        """Flat dict of arrays for jit closure / device upload."""
-        return dict(
-            em_offset=self.em_offset, em_count=self.em_count,
-            em_ilabel=self.em_ilabel, em_olabel=self.em_olabel,
-            em_weight=self.em_weight, em_dst=self.em_dst,
-            eps_offset=self.eps_offset, eps_count=self.eps_count,
-            eps_olabel=self.eps_olabel, eps_weight=self.eps_weight,
-            eps_dst=self.eps_dst)
+    @property
+    def max_closure_size(self) -> int:
+        """Max *proper* closure entries of any state (build_closure first)."""
+        assert self.clo_count is not None
+        return int(self.clo_count.max()) if len(self.clo_count) else 0
+
+    def build_closure(self) -> None:
+        """Precompute per-state ε-closures (Dijkstra over the ε-subgraph).
+
+        closure(s) = every state ε-reachable from s with the Viterbi (min
+        total weight) ε-path and that path's original arc ids.  Replaces the
+        per-frame ε worklist with one device relaxation stage; exact for any
+        ε-subgraph with non-negative weights (ε-cycles allowed — unlike the
+        depth-bounded sweep mode).  Idempotent.
+        """
+        if self.clo_offset is not None:
+            return
+        n = self.num_states
+        if len(self.eps_dst) and float(self.eps_weight.min()) < 0.0:
+            raise ValueError("negative epsilon weights: closure unsupported")
+        # ε adjacency: src -> [(weight, dst, eps_block_idx)]
+        esrc = np.repeat(np.arange(n, dtype=np.int64), self.eps_count)
+        adj: dict[int, list[tuple[float, int, int]]] = {}
+        for i in range(len(self.eps_dst)):
+            adj.setdefault(int(esrc[i]), []).append(
+                (float(self.eps_weight[i]), int(self.eps_dst[i]), i))
+        offset = np.zeros(n, np.int32)
+        count = np.zeros(n, np.int32)
+        dsts: list[int] = []
+        wts: list[float] = []
+        paths: list[np.ndarray] = []
+        pos = 0
+        for s in range(n):
+            offset[s] = pos
+            if s not in adj:
+                continue
+            # Dijkstra from s over ε arcs; pred[d] = (src, eps_idx)
+            dist = {s: 0.0}
+            pred: dict[int, tuple[int, int]] = {}
+            heap = [(0.0, s)]
+            while heap:
+                c, u = heapq.heappop(heap)
+                if c > dist.get(u, np.inf):
+                    continue
+                for w, v, ei in adj.get(u, ()):
+                    nc = c + w
+                    if nc < dist.get(v, np.inf):
+                        dist[v] = nc
+                        pred[v] = (u, ei)
+                        heapq.heappush(heap, (nc, v))
+            for d in sorted(dist):
+                if d == s:
+                    continue
+                dsts.append(d)
+                wts.append(dist[d])
+                # reconstruct best ε-path as original arc ids
+                path = []
+                v = d
+                while v != s:
+                    u, ei = pred[v]
+                    aid = int(self.eps_arcid[ei])
+                    if aid >= 0:    # drop split-chain bookkeeping links
+                        path.append(aid)
+                    v = u
+                paths.append(np.array(path[::-1], np.int64))
+                pos += 1
+            count[s] = pos - offset[s]
+        self.clo_offset = offset
+        self.clo_count = count
+        self.clo_dst = np.array(dsts, np.int32)
+        self.clo_weight = np.array(wts, np.float32)
+        self.clo_paths = paths
+

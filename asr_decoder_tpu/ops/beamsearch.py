@@ -8,23 +8,34 @@ dense fixed-width token beam per utterance and turns each frame into a few
 large gathers, one sort, and one top-k — all batched over utterances and
 compiled by XLA into a single fused device program (``lax.scan`` over frames).
 
-Shapes (B = batch of utterances, K = beam width, A = arc lanes, E = ε sweeps):
-  * token arrays: ``tok_state i32[B,K]``, ``tok_cost f32[B,K]``
-  * emitting expansion: gather ``[B,K,A]`` candidate arcs, add graph weight
-    and scaled acoustic cost (the reference's
-    ``tot_cost = cost + graph_w − LogLikelihood``, ref inl.h:291-300)
-  * relaxation (``FindOrAddToken`` min-merge, ref inl.h:89-137) is a
-    sort-by-(dst,cost) + first-of-segment mask — a segmented scatter-min
-    without atomics
-  * pruning (``GetCutoff`` adaptive beam + max/min-active, ref inl.h:139-245)
-    is top-K (max_active ≡ K) plus a beam mask that always keeps the best
-    ``min_active`` tokens
-  * ε-closure (ref inl.h:354-437 worklist) is E bounded relaxation sweeps,
-    E = the graph's exact ε-depth computed at load.
+Layout rule (the perf-critical design decision): every tensor on the hot path
+is 2-D ``[B, N]`` with N ≥ 1024 in the minor (lane) dimension.  TPU tiles are
+(8, 128); a 3-D ``[B, K, A]`` tensor with A = 8 arc lanes in the minor dim
+wastes 15/16 of every vector register and drives XLA into pathological
+layouts — measured 25× slower than the flattened form on v5e.
 
-Per-frame backpointers (slot + original arc id, for every stage) are logged
-to HBM so the host can reconstruct the best path and lattice links without
-device pointer chasing.
+Shapes (B = batch of utterances, K = beam width, A = arc lanes):
+  * token arrays: ``tok_state i32[B,K]``, ``tok_cost f32[B,K]``
+  * emitting expansion: flat ``[B, K*A]`` candidates — arc-table gathers,
+    ``cost + graph_w − scale·loglike`` (ref inl.h:291-300)
+  * relaxation (``FindOrAddToken`` min-merge, ref inl.h:89-137) is a
+    3-operand ``lax.sort`` by (dst, cost) + first-of-segment mask — a
+    segmented scatter-min without atomics — then top-K by cost with an
+    adaptive beam mask (``GetCutoff``, ref inl.h:139-245)
+  * ε-handling (ref ProcessNonemitting worklist, inl.h:354-437) has two
+    exact device modes:
+      - **closure** (default): the per-state ε-closure (best ε-path to every
+        ε-reachable state) is precomputed at graph load
+        (``DeviceFst.build_closure``), so each frame needs ONE extra
+        relaxation stage over ``[B, K*(1+C)]`` candidates.  Tolerates
+        non-negative ε-cycles.
+      - **sweeps**: E bounded relaxation sweeps (E = the graph's exact
+        ε-depth) for graphs whose closure fan-out is too wide.
+
+Per-frame backpointers (slot + arc id per stage) are logged to HBM so the
+host can reconstruct the best path and lattice links without device pointer
+chasing; token snapshots allow exact raw-lattice reconstruction
+(ref GetRawLattice inl.h:869-977).
 """
 
 from __future__ import annotations
@@ -38,27 +49,32 @@ import numpy as np
 
 from asr_decoder_tpu.decoder.config import DecoderConfig
 from asr_decoder_tpu.fst.device_fst import DeviceFst
+from asr_decoder_tpu.ops.gather import batched_table_gather
 
 INF = jnp.inf
-NO_STATE = jnp.int32(-1)
-BIG_STATE = jnp.int32(2**31 - 1)   # sort key for dead candidates
-ARC_STAY = -2                       # log sentinel: token carried, no arc
-ARC_EPS_LINK = -1                   # log sentinel: split-chain ε-link
+NO_STATE = -1
+BIG_STATE = 2**31 - 1   # sort key for dead candidates
+ARC_STAY = -2           # log sentinel: token carried, no arc taken
 
 
 class GraphArrays(NamedTuple):
-    """Device-resident graph (all jnp arrays, uploaded once)."""
-    em_offset: jax.Array   # i32[S]
-    em_count: jax.Array    # i32[S]
-    em_pdf: jax.Array      # i32[Aem]  (ilabel pre-mapped to AM output row)
-    em_weight: jax.Array   # f32[Aem]
-    em_dst: jax.Array      # i32[Aem]
-    em_arcid: jax.Array    # i32[Aem]
-    eps_offset: jax.Array  # i32[S]
-    eps_count: jax.Array   # i32[S]
-    eps_weight: jax.Array  # f32[Aeps]
-    eps_dst: jax.Array     # i32[Aeps]
-    eps_arcid: jax.Array   # i32[Aeps]
+    """Device-resident graph: padded per-state arc-record tables.
+
+    Random arc access is the search's hot memory op; XLA's general gather is
+    near-scalar speed on TPU, but a *row* gather (whole padded record row per
+    beam state) runs ~10× faster.  So each state's out-arcs live in one
+    fixed-width row, field-major:
+
+      * ``em_rec  i32[S, 4, A]`` — emitting arcs: (dst | pdf | weight-bits |
+        em-block arc index); padding lanes have dst = -1.
+      * ``eps_rec i32[S, 3, A]`` — ε arcs (sweeps mode): (dst | weight-bits |
+        ε-block arc index).
+      * ``clo_rec i32[S, 3, C]`` — ε-closure entries (closure mode):
+        (dst | weight-bits | closure-entry index).
+    """
+    em_rec: jax.Array      # i32[S, 4, A]
+    eps_rec: jax.Array     # i32[S, 3, Aeps]  (zero-width in closure mode)
+    clo_rec: jax.Array     # i32[S, 3, C]     (zero-width in sweeps mode)
     start: jax.Array       # i32 scalar
     final_state: jax.Array # i32 scalar
 
@@ -71,11 +87,14 @@ class BeamState(NamedTuple):
 class FrameLog(NamedTuple):
     """Per-frame search log.
 
-    ``prev_slot``/``arc_id`` are the best-path backpointers per pruning stage
-    (host ``traceback`` ≡ ref GetBestPath).  ``tok_state``/``tok_cost`` are
-    the post-frame surviving-token snapshots — all the host needs to
-    reconstruct the raw lattice exactly (ref GetRawLattice,
-    online-decoder-base-inl.h:869-977): the lattice's ForwardLinks are
+    ``prev_slot``/``arc_id`` are the best-path backpointers per relaxation
+    stage (host ``traceback`` ≡ ref GetBestPath).  Stage 0 is the emitting
+    stage (``arc_id`` = index into the DeviceFst emitting block); later
+    stages are ε stages (closure mode: index into the closure-entry table;
+    sweeps mode: index into the ε block); ``ARC_STAY`` = token carried.
+    ``tok_state``/``tok_cost`` are post-frame surviving-token snapshots —
+    all the host needs to reconstruct the raw lattice exactly
+    (ref GetRawLattice, online-decoder-base-inl.h:869-977): ForwardLinks are
     re-derivable from the CSR graph + loglikes, so the device never logs
     links (SURVEY §7 'lattice fidelity').
     """
@@ -85,142 +104,212 @@ class FrameLog(NamedTuple):
     tok_cost: jax.Array    # f32[B,K]           (advance: [T,B,K])
 
 
-def make_graph_arrays(dev: DeviceFst, ilabel2pdf: np.ndarray) -> GraphArrays:
-    """Upload a host DeviceFst; ``ilabel2pdf[i]`` maps arc input label i to
-    the AM output row scored for it (ref: TransitionIdToPdf /
-    ``ilabel-1`` CTC mapping, src/nnet/nnet-nnet.h:212-233)."""
+def _pack_records(offset: np.ndarray, count: np.ndarray, lanes: int,
+                  *fields: np.ndarray) -> np.ndarray:
+    """CSR → padded field-major record table i32[S, 1+len(fields), lanes].
+
+    Row layout per state: (dst | field₁ | field₂ | ...) with padding lanes
+    dst = -1; float fields are bit-cast to i32.  The first *field* must be
+    the dst array."""
+    S = len(offset)
+    nf = len(fields)
+    rec = np.zeros((S, nf, lanes), np.int32)
+    rec[:, 0, :] = -1
+    lane = np.arange(lanes)
+    mask = lane[None, :] < count[:, None]                    # [S, lanes]
+    idx = np.where(mask, offset[:, None] + lane[None, :], 0)
+    for f, arr in enumerate(fields):
+        if arr.dtype == np.float32:
+            arr = arr.view(np.int32)
+        vals = arr.astype(np.int32)[idx]
+        fill = -1 if f == 0 else 0
+        rec[:, f, :] = np.where(mask, vals, fill)
+    return rec
+
+
+def make_graph_arrays(dev: DeviceFst, ilabel2pdf: np.ndarray,
+                      mode: str) -> GraphArrays:
+    """Upload a host DeviceFst as padded record tables; ``ilabel2pdf[i]``
+    maps arc input label i to the AM output row scored for it
+    (ref: TransitionIdToPdf / ``ilabel-1`` CTC mapping,
+    src/nnet/nnet-nnet.h:212-233)."""
     ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
     em_pdf = ilabel2pdf[dev.em_ilabel]
+    A = max(dev.max_em_degree, 1)
+    em_arc_idx = np.arange(len(dev.em_dst), dtype=np.int32)
+    em_rec = _pack_records(dev.em_offset, dev.em_count, A,
+                           dev.em_dst, em_pdf, dev.em_weight, em_arc_idx)
+    if mode == "closure":
+        assert dev.clo_offset is not None, "call dev.build_closure() first"
+        C = max(dev.max_closure_size, 0)
+        clo_idx = np.arange(len(dev.clo_dst), dtype=np.int32)
+        clo_rec = _pack_records(dev.clo_offset, dev.clo_count, max(C, 1),
+                                dev.clo_dst, dev.clo_weight, clo_idx) \
+            if C else np.zeros((dev.num_states, 3, 0), np.int32)
+        eps_rec = np.zeros((dev.num_states, 3, 0), np.int32)
+    else:
+        Ae = max(dev.max_eps_degree, 1)
+        eps_idx = np.arange(len(dev.eps_dst), dtype=np.int32)
+        eps_rec = _pack_records(dev.eps_offset, dev.eps_count, Ae,
+                                dev.eps_dst, dev.eps_weight, eps_idx) \
+            if len(dev.eps_dst) else np.zeros((dev.num_states, 3, 0),
+                                              np.int32)
+        clo_rec = np.zeros((dev.num_states, 3, 0), np.int32)
     return GraphArrays(
-        em_offset=jnp.asarray(dev.em_offset),
-        em_count=jnp.asarray(dev.em_count),
-        em_pdf=jnp.asarray(em_pdf),
-        em_weight=jnp.asarray(dev.em_weight),
-        em_dst=jnp.asarray(dev.em_dst),
-        em_arcid=jnp.asarray(dev.em_arcid),
-        eps_offset=jnp.asarray(dev.eps_offset),
-        eps_count=jnp.asarray(dev.eps_count),
-        eps_weight=jnp.asarray(dev.eps_weight),
-        eps_dst=jnp.asarray(dev.eps_dst),
-        eps_arcid=jnp.asarray(dev.eps_arcid),
+        em_rec=jnp.asarray(em_rec),
+        eps_rec=jnp.asarray(eps_rec),
+        clo_rec=jnp.asarray(clo_rec),
         start=jnp.int32(dev.start),
         final_state=jnp.int32(dev.final_state),
     )
 
 
 # ----------------------------------------------------------------------
-# single-utterance building blocks (vmapped over the batch)
+# batched flat-2D building blocks
 # ----------------------------------------------------------------------
 
-def _relax_and_prune(dst, cost, prev, aid, *, beam_width, beam, min_active):
-    """Min-merge candidates by destination state, then prune to the beam.
+def _lane_iota(N: int) -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
 
-    The segmented scatter-min: lexicographic sort by (dst, cost); the first
-    candidate of each dst segment is that state's best (ties broken by sort
-    stability => lowest flat candidate index, mirroring the reference's
-    first-writer-wins on exact ties).  Then top-K by cost with an adaptive
+
+def _relax_and_prune(dst, cost, *, K, beam, min_active):
+    """Min-merge flat candidates by destination state, then prune.
+
+    The segmented scatter-min: lexicographic sort by (dst, cost) with the
+    flat candidate index as payload; the first candidate of each dst segment
+    is that state's best (ties broken by sort stability ⇒ lowest candidate
+    index, mirroring the reference's first-writer-wins on exact ties,
+    ref FindOrAddToken inl.h:89-137).  Then top-K by cost with an adaptive
     beam mask that never drops the best ``min_active`` tokens
     (ref GetCutoff semantics, online-decoder-base-inl.h:139-245).
+
+    Returns (state i32[B,K], cost f32[B,K], win i32[B,K] flat candidate
+    index, keep bool[B,K] live mask).
     """
+    B, N = dst.shape
     dead = ~jnp.isfinite(cost)
     sort_dst = jnp.where(dead, BIG_STATE, dst)
-    sort_dst, cost, prev, aid, dst = jax.lax.sort(
-        (sort_dst, cost, prev, aid, dst), num_keys=2, is_stable=True)
+    idx = jnp.broadcast_to(_lane_iota(N), (B, N))
+    sort_dst, cost_s, idx_s = jax.lax.sort(
+        (sort_dst, cost, idx), num_keys=2, is_stable=True)
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), sort_dst[1:] != sort_dst[:-1]])
+        [jnp.ones((B, 1), bool), sort_dst[:, 1:] != sort_dst[:, :-1]], axis=1)
     alive = first & (sort_dst != BIG_STATE)
-    cost = jnp.where(alive, cost, INF)
-    # top-K by cost (neg for descending top_k)
-    neg, idx = jax.lax.top_k(-cost, beam_width)
-    cost = -neg
-    dst = dst[idx]
-    prev = prev[idx]
-    aid = aid[idx]
-    # adaptive beam: always keep the best min_active slots, beam-prune the rest
-    best = cost[0]
-    rank = jax.lax.broadcasted_iota(jnp.int32, (beam_width, 1), 0)[:, 0]
-    keep = jnp.isfinite(cost) & ((cost <= best + beam) | (rank < min_active))
-    cost = jnp.where(keep, cost, INF)
-    state = jnp.where(keep, dst, NO_STATE)
+    cost_s = jnp.where(alive, cost_s, INF)
+    neg, tk = jax.lax.top_k(-cost_s, K)          # [B,K]
+    cost_k = -neg
+    state_k = jnp.take_along_axis(sort_dst, tk, axis=1)
+    win = jnp.take_along_axis(idx_s, tk, axis=1)
+    # adaptive beam: always keep the best min_active slots, beam-prune rest
+    best = cost_k[:, :1]
+    rank = _lane_iota(K)
+    keep = jnp.isfinite(cost_k) & (
+        (cost_k <= best + beam) | (rank < min_active))
+    cost_k = jnp.where(keep, cost_k, INF)
+    state_k = jnp.where(keep, state_k, NO_STATE)
+    win = jnp.where(keep, win, 0)
+    return state_k, cost_k, win, keep
+
+
+def _bits_to_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _emit_stage(g: GraphArrays, state, cost, ll, *, cfg):
+    """ProcessEmitting (ref inl.h:247-352): one row-gather of each beam
+    state's packed arc records, flat ``[B, K*A]`` candidates, relax, prune.
+    ``ll`` f32[B,V]."""
+    K, A = cfg["K"], cfg["A"]
+    B = state.shape[0]
+    N = K * A
+    valid = state != NO_STATE
+    s_safe = jnp.where(valid, state, 0)
+    rows = g.em_rec[s_safe]                                # [B,K,4,A]
+    dstN = rows[:, :, 0, :].reshape(B, N)
+    pdf = rows[:, :, 1, :].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 2, :]).reshape(B, N)
+    aidN = rows[:, :, 3, :].reshape(B, N)
+    validN = jnp.repeat(valid, A, axis=1)
+    costN = jnp.repeat(cost, A, axis=1)
+    amask = validN & (dstN >= 0)
+    am = batched_table_gather(ll, jnp.where(amask, pdf, 0),
+                              force=cfg["gather_impl"])
+    candN = jnp.where(amask, costN + w - cfg["acoustic_scale"] * am, INF)
+    dstN = jnp.where(amask, dstN, 0)
+    state, cost, win, keep = _relax_and_prune(
+        dstN, candN, K=K, beam=cfg["beam"], min_active=cfg["min_active"])
+    prev = jnp.where(keep, win // A, 0)
+    aid = jnp.where(keep, jnp.take_along_axis(aidN, win, axis=1), ARC_STAY)
     return state, cost, prev, aid
 
 
-def _expand_emitting(g: GraphArrays, state, cost, loglike, *,
-                     arc_lanes, acoustic_scale):
-    """Candidate generation for ProcessEmitting (ref inl.h:247-352)."""
-    K = state.shape[0]
+def _table_stage(rec, state, cost, *, K, beam, min_active):
+    """One ε relaxation stage over a packed record table i32[S, 3, L]
+    (closure entries or ε arcs): candidates = L table lanes per token plus a
+    trailing per-token stay block.  Returns (state, cost, prev, aid) with
+    aid = table entry index or ARC_STAY."""
+    B = state.shape[0]
+    L = rec.shape[2]
+    N = K * L
     valid = state != NO_STATE
     s_safe = jnp.where(valid, state, 0)
-    base = g.em_offset[s_safe]                                   # [K]
-    cnt = g.em_count[s_safe]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (K, arc_lanes), 1)
-    amask = valid[:, None] & (lane < cnt[:, None])
-    aidx = jnp.where(amask, base[:, None] + lane, 0)
-    w = g.em_weight[aidx]
-    dst = g.em_dst[aidx]
-    aid = g.em_arcid[aidx]
-    am = -acoustic_scale * loglike[g.em_pdf[aidx]]
-    cand_cost = jnp.where(amask, cost[:, None] + w + am, INF)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (K, arc_lanes), 0)
-    return (dst.reshape(-1), cand_cost.reshape(-1),
-            slot.reshape(-1), aid.reshape(-1))
+    rows = rec[s_safe]                                     # [B,K,3,L]
+    d = rows[:, :, 0, :].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 1, :]).reshape(B, N)
+    eidxN = rows[:, :, 2, :].reshape(B, N)
+    validN = jnp.repeat(valid, L, axis=1)
+    costN = jnp.repeat(cost, L, axis=1)
+    emask = validN & (d >= 0)
+    candN = jnp.where(emask, costN + w, INF)
+    dN = jnp.where(emask, d, 0)
+    # stay block: candidates [K*L, K*L+K) keep each token unchanged
+    dst_all = jnp.concatenate([dN, jnp.where(valid, state, 0)], axis=1)
+    cand_all = jnp.concatenate([candN, jnp.where(valid, cost, INF)], axis=1)
+    state, cost, win, keep = _relax_and_prune(
+        dst_all, cand_all, K=K, beam=beam, min_active=min_active)
+    is_stay = win >= N
+    prev = jnp.where(keep, jnp.where(is_stay, win - N, win // L), 0)
+    aid = jnp.where(keep & ~is_stay,
+                    jnp.take_along_axis(eidxN, jnp.minimum(win, N - 1),
+                                        axis=1),
+                    ARC_STAY)
+    return state, cost, prev, aid
 
 
-def _expand_eps(g: GraphArrays, state, cost, *, arc_lanes):
-    """Candidate generation for one ε-relaxation sweep: every live token
-    stays, plus its ε-successors (ref ProcessNonemitting inl.h:354-437)."""
-    K = state.shape[0]
-    valid = state != NO_STATE
-    s_safe = jnp.where(valid, state, 0)
-    base = g.eps_offset[s_safe]
-    cnt = g.eps_count[s_safe]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (K, arc_lanes), 1)
-    amask = valid[:, None] & (lane < cnt[:, None])
-    aidx = jnp.where(amask, base[:, None] + lane, 0)
-    w = g.eps_weight[aidx]
-    dst = g.eps_dst[aidx]
-    aid = g.eps_arcid[aidx]
-    move_cost = jnp.where(amask, cost[:, None] + w, INF)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (K, arc_lanes), 0)
-    # stay candidates keep the token as-is
-    stay_dst = jnp.where(valid, state, BIG_STATE)
-    stay_slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
-    stay_aid = jnp.full((K,), ARC_STAY, jnp.int32)
-    return (jnp.concatenate([stay_dst, dst.reshape(-1)]),
-            jnp.concatenate([cost, move_cost.reshape(-1)]),
-            jnp.concatenate([stay_slot, slot.reshape(-1)]),
-            jnp.concatenate([stay_aid, aid.reshape(-1)]))
-
-
-def _eps_closure(g: GraphArrays, state, cost, *, cfg_static):
-    """E bounded sweeps; returns final tokens + per-sweep logs [E,K]."""
-    K, A, E = cfg_static["K"], cfg_static["A"], cfg_static["E"]
-    logs_prev, logs_aid = [], []
-    for _ in range(E):
-        cand = _expand_eps(g, state, cost, arc_lanes=A)
-        state, cost, prev, aid = _relax_and_prune(
-            *cand, beam_width=K, beam=cfg_static["beam"],
-            min_active=cfg_static["min_active"])
-        logs_prev.append(prev)
-        logs_aid.append(aid)
-    if E:
-        log = (jnp.stack(logs_prev), jnp.stack(logs_aid))
+def _eps_stages(g: GraphArrays, state, cost, *, cfg):
+    """All ε stages for one frame: one closure relaxation (closure mode) or
+    E bounded sweeps (sweeps mode).  Returns tokens + stage logs
+    ([S_eps,B,K] prev, aid)."""
+    K = cfg["K"]
+    prevs, aids = [], []
+    if cfg["mode"] == "closure":
+        if cfg["C"] > 0:
+            state, cost, prev, aid = _table_stage(
+                g.clo_rec, state, cost, K=K, beam=cfg["beam"],
+                min_active=cfg["min_active"])
+            prevs.append(prev)
+            aids.append(aid)
     else:
-        log = (jnp.zeros((0, K), jnp.int32), jnp.zeros((0, K), jnp.int32))
+        for _ in range(cfg["E"]):
+            state, cost, prev, aid = _table_stage(
+                g.eps_rec, state, cost, K=K, beam=cfg["beam"],
+                min_active=cfg["min_active"])
+            prevs.append(prev)
+            aids.append(aid)
+    B = state.shape[0]
+    if prevs:
+        log = (jnp.stack(prevs), jnp.stack(aids))
+    else:
+        log = (jnp.zeros((0, B, K), jnp.int32),
+               jnp.zeros((0, B, K), jnp.int32))
     return state, cost, log
 
 
-def _frame_step(g: GraphArrays, state, cost, loglike, *, cfg_static):
-    """One decode frame: emitting expansion then ε-closure; returns logs
-    [1+E, K] (stage 0 = emitting, referencing previous-frame slots)."""
-    cand = _expand_emitting(
-        g, state, cost, loglike, arc_lanes=cfg_static["A"],
-        acoustic_scale=cfg_static["acoustic_scale"])
-    state, cost, prev0, aid0 = _relax_and_prune(
-        *cand, beam_width=cfg_static["K"], beam=cfg_static["beam"],
-        min_active=cfg_static["min_active"])
-    state, cost, (eprev, eaid) = _eps_closure(g, state, cost,
-                                              cfg_static=cfg_static)
+def _frame_step(g: GraphArrays, state, cost, ll, *, cfg):
+    """One decode frame: emitting stage then ε stage(s); logs [S,B,K]
+    (stage 0 = emitting, referencing previous-frame slots)."""
+    state, cost, prev0, aid0 = _emit_stage(g, state, cost, ll, cfg=cfg)
+    state, cost, (eprev, eaid) = _eps_stages(g, state, cost, cfg=cfg)
     prev = jnp.concatenate([prev0[None], eprev], axis=0)
     aid = jnp.concatenate([aid0[None], eaid], axis=0)
     return state, cost, prev, aid
@@ -239,34 +328,35 @@ def _init_fn(g: GraphArrays, batch: int, static_cfg: tuple):
     cost = jnp.full((batch, K), INF, jnp.float32)
     state = state.at[:, 0].set(g.start)
     cost = cost.at[:, 0].set(0.0)
-    closure = jax.vmap(lambda s, c: _eps_closure(g, s, c, cfg_static=cfg))
-    state, cost, (prev, aid) = closure(state, cost)
-    return BeamState(state, cost), FrameLog(
-        jnp.swapaxes(prev, 0, 1), jnp.swapaxes(aid, 0, 1), state, cost)
+    state, cost, (prev, aid) = _eps_stages(g, state, cost, cfg=cfg)
+    return BeamState(state, cost), FrameLog(prev, aid, state, cost)
 
 
 @partial(jax.jit, static_argnums=(3,))
 def _advance_fn(g: GraphArrays, state: BeamState, inputs, static_cfg: tuple):
     cfg = dict(static_cfg)
     loglikes, frame_mask = inputs
+    K = cfg["K"]
 
     def scan_body(carry, xs):
         st, co = carry
         ll, mask = xs                              # [B,V], [B]
-        step = jax.vmap(
-            lambda s, c, l: _frame_step(g, s, c, l, cfg_static=cfg))
-        ns, nc, prev, aid = step(st, co, ll)       # prev/aid: [B,S,K]
-        K = cfg["K"]
+        ns, nc, prev, aid = _frame_step(g, st, co, ll, cfg=cfg)
         slot_id = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2), prev.shape)
         m = mask[:, None]
         ns = jnp.where(m, ns, st)
         nc = jnp.where(m, nc, co)
-        m3 = mask[:, None, None]
+        m3 = mask[None, :, None]
         prev = jnp.where(m3, prev, slot_id)
         aid = jnp.where(m3, aid, ARC_STAY)
-        return (ns, nc), (jnp.swapaxes(prev, 0, 1),
-                          jnp.swapaxes(aid, 0, 1), ns, nc)
+        ys = [prev, aid]
+        if cfg["log_snapshots"]:
+            ys += [ns, nc]
+        else:
+            ys += [jnp.zeros((ns.shape[0], 0), jnp.int32),
+                   jnp.zeros((ns.shape[0], 0), jnp.float32)]
+        return (ns, nc), tuple(ys)
 
     lls = jnp.swapaxes(loglikes, 0, 1)             # [T,B,V]
     masks = jnp.swapaxes(frame_mask, 0, 1)         # [T,B]
@@ -291,20 +381,47 @@ class TpuBeamSearch:
         self.config.check()
         self.dev = dev
         self._ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
-        self.graph = make_graph_arrays(dev, ilabel2pdf)
-        eps_iters = self.config.eps_iters or dev.eps_depth
-        assert dev.max_em_degree <= self.config.arc_lanes, \
+        cfg = self.config
+        assert dev.max_em_degree <= cfg.arc_lanes, \
             "graph not degree-bounded: rebuild DeviceFst with arc_lanes"
-        assert dev.max_eps_degree <= self.config.arc_lanes
+
+        mode = cfg.eps_mode
+        if mode in ("auto", "closure"):
+            try:
+                dev.build_closure()
+                C = dev.max_closure_size
+                if mode == "auto" and C > cfg.closure_lanes_max:
+                    mode = "sweeps"
+                else:
+                    mode = "closure"
+            except ValueError:
+                if mode == "closure":
+                    raise
+                mode = "sweeps"
+        if mode == "sweeps":
+            eps_iters = cfg.eps_iters or dev.eps_depth
+            assert eps_iters >= 0, \
+                "epsilon cycle: sweeps mode unusable (use eps_mode=closure)"
+        else:
+            eps_iters = 0
+        self.mode = mode
+        self.graph = make_graph_arrays(dev, ilabel2pdf, mode)
+        K = min(cfg.beam_width, cfg.max_active)
         self._static = tuple(sorted(dict(
-            K=self.config.beam_width,
-            A=self.config.arc_lanes,
+            K=K,
+            A=int(self.graph.em_rec.shape[2]),
             E=eps_iters,
-            beam=float(self.config.beam),
-            min_active=int(self.config.min_active),
-            acoustic_scale=float(self.config.acoustic_scale),
+            C=dev.max_closure_size if mode == "closure" else 0,
+            mode=mode,
+            beam=float(cfg.beam),
+            min_active=int(cfg.min_active),
+            acoustic_scale=float(cfg.acoustic_scale),
+            log_snapshots=bool(cfg.log_snapshots),
+            gather_impl=cfg.gather_impl or None,
         ).items()))
-        self.num_stages = 1 + eps_iters
+        self.beam_width = K
+        self.num_stages = 1 + (eps_iters if mode == "sweeps"
+                               else int(dev.max_closure_size > 0))
 
     # -- InitDecoding ------------------------------------------------------
     def init_state(self, batch: int) -> tuple[BeamState, FrameLog]:
@@ -374,6 +491,18 @@ class TpuBeamSearch:
 
     # -- host-side best path (ref GetBestPath / TraceBackBestPath,
     #    online-decoder-base-inl.h:1072-1161) ------------------------------
+    def _decode_stage_arcs(self, stage: int, a: int) -> list[int]:
+        """Map a logged per-stage arc id to original StdFst arc ids
+        (reversed, for backward accumulation)."""
+        if a < 0:
+            return []
+        if stage == 0:                       # emitting block index
+            return [int(self.dev.em_arcid[a])]
+        if self.mode == "closure":           # closure entry index
+            return [int(x) for x in self.dev.clo_paths[a][::-1]]
+        aid = int(self.dev.eps_arcid[a])     # ε block index
+        return [aid] if aid >= 0 else []     # skip split-chain links
+
     def traceback(self, state: BeamState, init_log: FrameLog,
                   logs: FrameLog, fst_arcs=None):
         """Returns per-utterance dicts with arc ids, words, ilabels, cost.
@@ -385,7 +514,7 @@ class TpuBeamSearch:
         tok_cost = np.asarray(state.tok_cost)
         prevs = np.asarray(logs.prev_slot)   # [T,S,B,K]
         aids = np.asarray(logs.arc_id)
-        iprev = np.asarray(init_log.prev_slot)  # [E,B,K]
+        iprev = np.asarray(init_log.prev_slot)  # [S_eps,B,K]
         iaid = np.asarray(init_log.arc_id)
         T = prevs.shape[0]
         final_id = int(self.dev.final_state)
@@ -403,14 +532,12 @@ class TpuBeamSearch:
             arcs_rev: list[int] = []
             for t in range(T - 1, -1, -1):
                 for s in range(prevs.shape[1] - 1, -1, -1):
-                    a = int(aids[t, s, b, slot])
-                    if a >= 0:
-                        arcs_rev.append(a)
+                    arcs_rev.extend(self._decode_stage_arcs(
+                        s, int(aids[t, s, b, slot])))
                     slot = int(prevs[t, s, b, slot])
             for s in range(iprev.shape[0] - 1, -1, -1):
-                a = int(iaid[s, b, slot])
-                if a >= 0:
-                    arcs_rev.append(a)
+                arcs_rev.extend(self._decode_stage_arcs(
+                    s + 1, int(iaid[s, b, slot])))
                 slot = int(iprev[s, b, slot])
             arc_ids = arcs_rev[::-1]
             res = dict(arc_ids=arc_ids, cost=total,

@@ -3,14 +3,19 @@
 Pipeline benchmarked — the reference's canonical serve path (SURVEY §3.1:
 fbank → AM forward → WFST beam search), batched:
   16 kHz waveform batch → 80-dim fbank → flagship projected-LSTM AM with
-  frame-subsampling 3 → batched frame-synchronous Viterbi beam search over a
-  synthetic HCLG-shaped graph (50k states) → per-utterance token beams.
+  frame-subsampling 3 → batched frame-synchronous Viterbi beam search with
+  full lattice/backpointer logging over a synthetic HCLG-shaped graph →
+  per-utterance token beams.
 
 Metric: aggregate audio-seconds decoded per wall-second per chip
 (BASELINE.json).  vs_baseline: the reference's production CPU serving
 configuration decodes ~60 concurrent real-time streams per node
 (--nthread=60 at decoder rt ≈ 1.0, ref: src/v2-asrbin/conf/v2-conf.txt),
 i.e. ~60 audio-seconds/s — vs_baseline = (audio-s/s per chip) / 60.
+
+Timing note: device completion is forced by fetching a reduced scalar —
+``jax.block_until_ready`` alone does not reliably block on the tunneled
+backend used by the test harness.
 
 Prints exactly one JSON line.
 """
@@ -28,6 +33,20 @@ import numpy as np
 BASELINE_AUDIO_S_PER_S = 60.0   # one reference CPU node (60 threads @ RTF 1)
 
 
+def _force(x) -> float:
+    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
+    return float(sum(jnp.sum(l[..., -1].astype(jnp.float32))
+                     for l in leaves))
+
+
+def _time(fn, *args, iters=3):
+    _force(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _force(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
 def main(quick: bool = False):
     from asr_decoder_tpu.decoder.config import DecoderConfig
     from asr_decoder_tpu.frontend.fbank import FbankConfig, compute_fbank
@@ -40,7 +59,7 @@ def main(quick: bool = False):
     rng = np.random.default_rng(0)
     sr = 16000
     secs = 8.0
-    batch = 16 if not quick else 4
+    batch = 128 if not quick else 4
     num_pdfs = 2048
     skip = 2  # frame-subsampling-factor 3 (ref conf)
 
@@ -51,14 +70,14 @@ def main(quick: bool = False):
     layers = nnet.layers
     am_state = nnet.init_state(batch)
 
-    fst = random_hclg(rng, num_states=50_000 if not quick else 5_000,
+    fst = random_hclg(rng, num_states=200_000 if not quick else 5_000,
                       num_ilabels=num_pdfs)
     dev = DeviceFst.build(fst, arc_lanes=8)
     # search kernel scores ilabel i against AM row (i-1): CTC-style map
     # (ref: nnet-nnet.h:226 "ilabel - 1")
     ilabel2pdf = np.concatenate([[0], np.arange(num_pdfs)]).astype(np.int32)
     cfg = DecoderConfig(beam=14.0, beam_width=512, arc_lanes=8,
-                        max_active=512, min_active=16)
+                        max_active=512, min_active=16, eps_mode="closure")
     search = TpuBeamSearch(dev, ilabel2pdf, cfg)
 
     wave = jnp.asarray(rng.standard_normal((batch, int(sr * secs))) * 1000,
@@ -70,31 +89,37 @@ def main(quick: bool = False):
         return ll
 
     am_jit = jax.jit(am_fn)
+    ll = am_jit(wave)
+    state0, _ = search.init_state(batch)
 
     def pipeline(w):
         ll = am_jit(w)
         state, init_log = search.init_state(batch)
         state, logs = search.advance(state, ll)
-        return state
-
-    # warm-up / compile
-    out = pipeline(wave)
-    jax.block_until_ready(out.tok_cost)
+        return state, logs
 
     iters = 3 if not quick else 1
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(wave)
-    jax.block_until_ready(out.tok_cost)
-    dt = time.perf_counter() - t0
+    t_am = _time(am_jit, wave, iters=iters)
+    t_search = _time(lambda l: search.advance(state0, l)[0], ll, iters=iters)
+    dt = _time(pipeline, wave, iters=iters)
 
-    audio_s = batch * secs * iters
+    audio_s = batch * secs
     audio_s_per_s = audio_s / dt
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(audio_s_per_s, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
+        "detail": {
+            "batch": batch, "wave_secs": secs,
+            "graph_states": dev.num_states,
+            "beam_width": cfg.beam_width,
+            "am_audio_s_per_s": round(audio_s / t_am, 1),
+            "search_audio_s_per_s": round(audio_s / t_search, 1),
+            "am_ms": round(t_am * 1e3, 1),
+            "search_ms": round(t_search * 1e3, 1),
+            "frames": int(ll.shape[1]),
+        },
     }))
 
 

@@ -44,19 +44,21 @@ def random_decode_graph(rng, num_states=30, num_labels=8, max_deg=4,
         np.array(w), np.array(dst), finals)
 
 
-def _setup(rng, num_labels=8, **kw):
+def _setup(rng, num_labels=8, eps_mode="auto", **kw):
     fst = random_decode_graph(rng, num_labels=num_labels, **kw)
     dev = DeviceFst.build(fst, arc_lanes=8)
     ilabel2pdf = np.arange(num_labels + 1, dtype=np.int32)
     cfg = DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
-                        max_active=64, min_active=0, lattice_beam=1e9)
+                        max_active=64, min_active=0, lattice_beam=1e9,
+                        eps_mode=eps_mode)
     return fst, dev, ilabel2pdf, cfg
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_device_matches_gold_single(seed):
+@pytest.mark.parametrize("eps_mode", ["closure", "sweeps"])
+def test_device_matches_gold_single(seed, eps_mode):
     rng = np.random.default_rng(seed)
-    fst, dev, i2p, cfg = _setup(rng)
+    fst, dev, i2p, cfg = _setup(rng, eps_mode=eps_mode)
     T, V = 15, 9
     loglikes = rng.standard_normal((T, V)).astype(np.float32) * 3
     gold = GoldDecoder(fst, i2p, cfg).decode(loglikes)
@@ -70,9 +72,10 @@ def test_device_matches_gold_single(seed):
         assert res["ilabels"] == gold.ilabels
 
 
-def test_device_matches_gold_batched_varlen():
+@pytest.mark.parametrize("eps_mode", ["closure", "sweeps"])
+def test_device_matches_gold_batched_varlen(eps_mode):
     rng = np.random.default_rng(42)
-    fst, dev, i2p, cfg = _setup(rng)
+    fst, dev, i2p, cfg = _setup(rng, eps_mode=eps_mode)
     B, Tmax, V = 4, 20, 9
     lens = np.array([20, 13, 7, 17])
     loglikes = rng.standard_normal((B, Tmax, V)).astype(np.float32) * 3
