@@ -48,6 +48,10 @@ class DecoderConfig:
         "", "Acoustic-score gather implementation: '' = auto (Pallas "
             "lane-chunk kernel on TPU, XLA elsewhere), 'pallas', "
             "'interpret' (Pallas interpreter, tests), 'xla'")
+    lm_lanes: int = flag(
+        1024, "BigLM in-search: word candidates are compacted to this many "
+              "lanes before the per-candidate LM probe; >= K*arc_lanes "
+              "disables compaction (exact)")
 
     def register(self, opts: ConfigOptions, prefix: str = "") -> None:
         opts.register_dataclass(self, prefix)

@@ -133,3 +133,145 @@ class GoldDecoder:
             words, ilabels, _, _ = lattice.to_vector()
         return GoldResult(words=words, ilabels=ilabels, cost=float(best_cost),
                           reached_final=reached, lattice=lattice)
+
+
+class GoldBigLmDecoder:
+    """Host reference for the BigLM in-search pair decoder: token identity
+    is (fst_state, lm1_state, lm2_state) and word-olabel arcs add the
+    difference-LM score to the graph cost (ref semantics:
+    src/my-decoder/online-decoder-mempool-base-biglm.h:316-469 with
+    DiffArpaLm, src/newlm/diff-lm.h).  Tracks backpointers for the best
+    path; final cost adds the diff LM's sentence-end cost
+    (ref ComputeFinalCosts :161-216)."""
+
+    def __init__(self, fst: StdFst, ilabel2pdf: np.ndarray, fsa1, fsa2,
+                 lm1_scale: float = 1.0, lm2_scale: float = 1.0,
+                 config: DecoderConfig | None = None):
+        self.fst = fst
+        self.ilabel2pdf = np.asarray(ilabel2pdf, np.int64)
+        self.fsa1, self.fsa2 = fsa1, fsa2
+        self.lm1_scale, self.lm2_scale = lm1_scale, lm2_scale
+        self.config = config or DecoderConfig()
+
+    def _lm_advance(self, l1: int, l2: int, ol: int):
+        if ol <= 0:
+            return l1, l2, 0.0
+        n1, c1 = self.fsa1.get_arc(l1, ol)
+        n2, c2 = self.fsa2.get_arc(l2, ol)
+        return n1, n2, self.lm2_scale * c2 - self.lm1_scale * c1
+
+    def _lm_final(self, l1: int, l2: int) -> float:
+        return (self.lm2_scale * self.fsa2.final(l2)
+                - self.lm1_scale * self.fsa1.final(l1))
+
+    def _prune(self, toks):
+        cfg = self.config
+        if not toks:
+            return toks
+        costs = np.array(list(toks.values()))
+        best = costs.min()
+        order = np.sort(costs)
+        cap = min(cfg.max_active, cfg.beam_width)
+        cutoff = best + cfg.beam
+        if len(order) > cap:
+            cutoff = min(cutoff, float(order[cap - 1]))
+        if cfg.min_active > 0 and len(order) > cfg.min_active:
+            cutoff = max(cutoff, float(order[cfg.min_active - 1]))
+        return {k: c for k, c in toks.items() if c <= cutoff}
+
+    def _eps_closure(self, toks, bp):
+        fst = self.fst
+        work = list(toks)
+        while work:
+            key = work.pop()
+            s, l1, l2 = key
+            c = toks[key]
+            lo, hi = int(fst.state_offset[s]), int(fst.state_eps_end[s])
+            for i in range(lo, hi):
+                n1, n2, lc = self._lm_advance(l1, l2,
+                                              int(fst.arc_olabel[i]))
+                nk = (int(fst.arc_dst[i]), n1, n2)
+                nc = c + float(fst.arc_weight[i]) + lc
+                if nc < toks.get(nk, INF):
+                    toks[nk] = nc
+                    bp[nk] = (key, i)
+                    work.append(nk)
+        return toks
+
+    def decode(self, loglikes: np.ndarray) -> GoldResult:
+        fst = self.fst
+        cfg = self.config
+        scale = cfg.acoustic_scale
+        T = loglikes.shape[0]
+
+        start = (int(fst.start), self.fsa1.start, self.fsa2.start)
+        toks = {start: 0.0}
+        bps: list[dict] = [dict()]
+        self._eps_closure(toks, bps[0])
+        toks = self._prune(toks)
+
+        for t in range(T):
+            ll = loglikes[t]
+            new: dict = {}
+            bp: dict = {}
+            for (s, l1, l2), c in toks.items():
+                lo = int(fst.state_eps_end[s])
+                hi = int(fst.state_offset[s + 1])
+                for i in range(lo, hi):
+                    il = int(fst.arc_ilabel[i])
+                    am = -scale * float(ll[self.ilabel2pdf[il]])
+                    n1, n2, lc = self._lm_advance(l1, l2,
+                                                  int(fst.arc_olabel[i]))
+                    nc = c + float(fst.arc_weight[i]) + lc + am
+                    nk = (int(fst.arc_dst[i]), n1, n2)
+                    if nc < new.get(nk, INF):
+                        new[nk] = nc
+                        bp[nk] = ((s, l1, l2, t), i)
+            new = self._prune(new)
+            self._eps_closure(new, bp)
+            new = self._prune(new)
+            bps.append(bp)
+            toks = new
+
+        final_id = fst.final_state
+        finals = {k: c + self._lm_final(k[1], k[2])
+                  for k, c in toks.items() if k[0] == final_id}
+        if finals:
+            best_key = min(finals, key=finals.get)
+            best_cost = finals[best_key]
+            reached = True
+        else:
+            best_key = min(toks, key=toks.get) if toks else None
+            best_cost = toks[best_key] if toks else INF
+            reached = False
+
+        # backpointer walk: per-frame bp dicts; a frame's emitting entry
+        # records its source token at the *previous* frame
+        words, ilabels, arc_ids = [], [], []
+        if best_key is not None:
+            key = best_key
+            t = T
+            while t >= 0:
+                bp = bps[t]
+                took = False
+                while key in bp:
+                    prev, arc = bp[key]
+                    arc_ids.append(arc)
+                    if len(prev) == 4:       # emitting hop → previous frame
+                        key = prev[:3]
+                        took = True
+                        break
+                    key = prev
+                if t > 0 and not took:
+                    # token carried? cannot happen: every frame-t token
+                    # descends from an emitting arc at frame t
+                    raise AssertionError("broken backpointer chain")
+                t -= 1
+            arc_ids.reverse()
+            ol = fst.arc_olabel[arc_ids]
+            il = fst.arc_ilabel[arc_ids]
+            words = [int(x) for x in ol[ol != 0]]
+            ilabels = [int(x) for x in il[il != 0]]
+        return GoldResult(words=words, ilabels=ilabels,
+                          cost=float(best_cost), reached_final=reached,
+                          lattice=None)

@@ -172,7 +172,8 @@ def _lane_iota(N: int) -> jax.Array:
     return jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
 
 
-def _relax_and_prune(dst, cost, *, K, beam, min_active):
+def _relax_and_prune(dst, cost, *, K, beam, min_active, gather_impl=None,
+                     extra_keys=()):
     """Min-merge flat candidates by destination state, then prune.
 
     The segmented scatter-min: lexicographic sort by (dst, cost) with the
@@ -183,23 +184,33 @@ def _relax_and_prune(dst, cost, *, K, beam, min_active):
     beam mask that never drops the best ``min_active`` tokens
     (ref GetCutoff semantics, online-decoder-base-inl.h:139-245).
 
+    ``extra_keys``: additional i32[B,N] identity lanes (e.g. LM states for
+    the BigLM pair search, ref PairId online-decoder-mempool-base-biglm.h:
+    77-90) that join dst in the merge key; their pruned [B,K] values are
+    returned after the keep mask.
+
     Returns (state i32[B,K], cost f32[B,K], win i32[B,K] flat candidate
-    index, keep bool[B,K] live mask).
+    index, keep bool[B,K] live mask, *extras).
     """
     B, N = dst.shape
     dead = ~jnp.isfinite(cost)
     sort_dst = jnp.where(dead, BIG_STATE, dst)
     idx = jnp.broadcast_to(_lane_iota(N), (B, N))
-    sort_dst, cost_s, idx_s = jax.lax.sort(
-        (sort_dst, cost, idx), num_keys=2, is_stable=True)
-    first = jnp.concatenate(
-        [jnp.ones((B, 1), bool), sort_dst[:, 1:] != sort_dst[:, :-1]], axis=1)
+    nk = 2 + len(extra_keys)
+    sorted_ops = jax.lax.sort(
+        (sort_dst, *extra_keys, cost, idx), num_keys=nk, is_stable=True)
+    sort_dst, cost_s, idx_s = sorted_ops[0], sorted_ops[-2], sorted_ops[-1]
+    extras_s = sorted_ops[1:-2]
+    same = sort_dst[:, 1:] == sort_dst[:, :-1]
+    for e in extras_s:
+        same = same & (e[:, 1:] == e[:, :-1])
+    first = jnp.concatenate([jnp.ones((B, 1), bool), ~same], axis=1)
     alive = first & (sort_dst != BIG_STATE)
     cost_s = jnp.where(alive, cost_s, INF)
     neg, tk = jax.lax.top_k(-cost_s, K)          # [B,K]
     cost_k = -neg
-    state_k = jnp.take_along_axis(sort_dst, tk, axis=1)
-    win = jnp.take_along_axis(idx_s, tk, axis=1)
+    state_k = batched_table_gather(sort_dst, tk, force=gather_impl)
+    win = batched_table_gather(idx_s, tk, force=gather_impl)
     # adaptive beam: always keep the best min_active slots, beam-prune rest
     best = cost_k[:, :1]
     rank = _lane_iota(K)
@@ -208,7 +219,10 @@ def _relax_and_prune(dst, cost, *, K, beam, min_active):
     cost_k = jnp.where(keep, cost_k, INF)
     state_k = jnp.where(keep, state_k, NO_STATE)
     win = jnp.where(keep, win, 0)
-    return state_k, cost_k, win, keep
+    extras_k = tuple(
+        jnp.where(keep, batched_table_gather(e, tk, force=gather_impl), 0)
+        for e in extras_s)
+    return (state_k, cost_k, win, keep, *extras_k)
 
 
 def _bits_to_f32(x):
@@ -237,13 +251,18 @@ def _emit_stage(g: GraphArrays, state, cost, ll, *, cfg):
     candN = jnp.where(amask, costN + w - cfg["acoustic_scale"] * am, INF)
     dstN = jnp.where(amask, dstN, 0)
     state, cost, win, keep = _relax_and_prune(
-        dstN, candN, K=K, beam=cfg["beam"], min_active=cfg["min_active"])
+        dstN, candN, K=K, beam=cfg["beam"], min_active=cfg["min_active"],
+        gather_impl=cfg["gather_impl"])
     prev = jnp.where(keep, win // A, 0)
-    aid = jnp.where(keep, jnp.take_along_axis(aidN, win, axis=1), ARC_STAY)
+    aid = jnp.where(keep,
+                    batched_table_gather(aidN, win,
+                                         force=cfg["gather_impl"]),
+                    ARC_STAY)
     return state, cost, prev, aid
 
 
-def _table_stage(rec, state, cost, *, K, beam, min_active):
+def _table_stage(rec, state, cost, *, K, beam, min_active,
+                 gather_impl=None):
     """One ε relaxation stage over a packed record table i32[S, 3, L]
     (closure entries or ε arcs): candidates = L table lanes per token plus a
     trailing per-token stay block.  Returns (state, cost, prev, aid) with
@@ -266,12 +285,13 @@ def _table_stage(rec, state, cost, *, K, beam, min_active):
     dst_all = jnp.concatenate([dN, jnp.where(valid, state, 0)], axis=1)
     cand_all = jnp.concatenate([candN, jnp.where(valid, cost, INF)], axis=1)
     state, cost, win, keep = _relax_and_prune(
-        dst_all, cand_all, K=K, beam=beam, min_active=min_active)
+        dst_all, cand_all, K=K, beam=beam, min_active=min_active,
+        gather_impl=gather_impl)
     is_stay = win >= N
     prev = jnp.where(keep, jnp.where(is_stay, win - N, win // L), 0)
     aid = jnp.where(keep & ~is_stay,
-                    jnp.take_along_axis(eidxN, jnp.minimum(win, N - 1),
-                                        axis=1),
+                    batched_table_gather(eidxN, jnp.minimum(win, N - 1),
+                                         force=gather_impl),
                     ARC_STAY)
     return state, cost, prev, aid
 
@@ -286,14 +306,16 @@ def _eps_stages(g: GraphArrays, state, cost, *, cfg):
         if cfg["C"] > 0:
             state, cost, prev, aid = _table_stage(
                 g.clo_rec, state, cost, K=K, beam=cfg["beam"],
-                min_active=cfg["min_active"])
+                min_active=cfg["min_active"],
+                gather_impl=cfg["gather_impl"])
             prevs.append(prev)
             aids.append(aid)
     else:
         for _ in range(cfg["E"]):
             state, cost, prev, aid = _table_stage(
                 g.eps_rec, state, cost, K=K, beam=cfg["beam"],
-                min_active=cfg["min_active"])
+                min_active=cfg["min_active"],
+                gather_impl=cfg["gather_impl"])
             prevs.append(prev)
             aids.append(aid)
     B = state.shape[0]
