@@ -37,6 +37,10 @@ BLANK_SKIP_LOGPROB = 20.0
 class AmConfig:
     """ref: NnetForwardOptions (nnet-nnet.h:63-87)."""
     skip: int = flag(0, "Frame-subsampling factor minus one (skip frames)")
+    skip_copy: bool = flag(False, "Copy scores to skipped frames so the "
+                                  "search still walks every input frame "
+                                  "(ref _skip score copy, nnet-nnet.cc:"
+                                  "93-116); False drops skipped frames")
     do_log: bool = flag(True, "Transform NN output by log()")
     sub_prior: bool = flag(True, "Subtract log prior (last layer must be Prior)")
     do_softmax: bool = flag(True, "Apply the final softmax layer")
@@ -209,16 +213,21 @@ def _write_layer_blob(f, l: Layer) -> None:
 
 def am_forward(layers: list[Layer], x, state, *, do_softmax=True,
                do_log=True, sub_prior=True, block_pdf_pdfid=-1,
-               block_scale=1.0, skip_block=1.0, skip=0):
+               block_scale=1.0, skip_block=1.0, skip=0, skip_copy=False):
     """x f32[B,T,D] → log-likelihood rows f32[B,T',V], with streaming state.
 
     Mirrors NnetForward::FeedForward (ref: nnet-nnet.cc:89-168): run layers
     (stopping before Prior; before Softmax too when do_softmax=False), blank
-    scale/saturate, log, prior subtraction; frame subsampling takes every
-    (1+skip)-th input frame (ref: nnet-nnet.cc:93-116) — note acoustic_scale
-    is NOT applied here (the search applies it, matching LogLikelihood
-    ref: nnet-nnet.h:212-233).
+    scale/saturate, log, prior subtraction; frame subsampling runs the net
+    on every (1+skip)-th input frame (ref: nnet-nnet.cc:93-116).  With
+    ``skip_copy`` the computed rows are copied onto the skipped frames so
+    T' == T and the search walks every frame (the reference's ``_skip``
+    score-copy semantics — required for WER parity with reference confs);
+    without it skipped frames are dropped (T' = ceil(T/(1+skip))).  Note
+    acoustic_scale is NOT applied here (the search applies it, matching
+    LogLikelihood ref: nnet-nnet.h:212-233).
     """
+    T_in = x.shape[1]
     if skip:
         x = x[:, ::1 + skip]
     new_state = []
@@ -241,6 +250,8 @@ def am_forward(layers: list[Layer], x, state, *, do_softmax=True,
             last = layers[-1]
             if last.kind == "prior":
                 x, _ = layer_forward(last, x, {})
+    if skip and skip_copy:
+        x = jnp.repeat(x, 1 + skip, axis=1)[:, :T_in]
     return x, new_state
 
 

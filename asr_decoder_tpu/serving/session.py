@@ -131,6 +131,10 @@ class OnlineDecoderInfo:
         self.am_config = am_config or AmConfig()
         self.cmvn_config = cmvn_config  # None = no live CMVN
         self.vad_config = vad_config or EnergyVadConfig()
+        if self.am_config.skip_copy and self.am_config.skip:
+            assert self.config.chunk_frames % (self.am_config.skip + 1) == 0, \
+                "skip_copy needs chunk_frames divisible by skip+1 (chunks " \
+                "must stay phase-aligned)"
         dev = DeviceFst.build(fst, arc_lanes=self.decoder_config.arc_lanes)
         self.search = TpuBeamSearch(dev, ilabel2pdf, self.decoder_config)
         self.ilabel2pdf = np.asarray(ilabel2pdf, np.int64)
@@ -215,7 +219,7 @@ class OnlineDecoderSession:
         # don't change which frames are scored (ref: NnetForwardOptions
         # _skip, nnet-nnet.cc:93-116)
         skip = info.am_config.skip
-        if skip and spliced.shape[0]:
+        if skip and spliced.shape[0] and not info.am_config.skip_copy:
             sel = (np.arange(spliced.shape[0]) + self._skip_phase) \
                 % (skip + 1) == 0
             self._skip_phase = (self._skip_phase + spliced.shape[0]) \
@@ -244,11 +248,16 @@ class OnlineDecoderSession:
     def _advance(self, feats: np.ndarray, valid: int) -> None:
         info = self.info
         ac = info.am_config
+        # skip_copy mode: subsample + score-copy inside am_forward — each
+        # device chunk is phase-aligned because chunk_frames % (skip+1) == 0
+        # (checked at session build), matching the reference's _skip
+        # score-copy while the search walks every frame (nnet-nnet.cc:93-116)
         loglikes, self._am_state = am_forward(
             info.am_layers, jnp.asarray(feats), self._am_state,
             do_softmax=ac.do_softmax, do_log=ac.do_log,
             sub_prior=ac.sub_prior, block_pdf_pdfid=ac.block_pdf_pdfid,
-            block_scale=ac.block_scale, skip_block=ac.skip_block)
+            block_scale=ac.block_scale, skip_block=ac.skip_block,
+            skip=ac.skip if ac.skip_copy else 0, skip_copy=ac.skip_copy)
         C = feats.shape[1]
         mask = np.arange(C)[None, :] < valid
         self._beam, log = info.search.advance(self._beam, loglikes,

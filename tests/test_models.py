@@ -152,6 +152,20 @@ def test_am_forward_frame_skip():
     assert ll.shape[1] == 3  # every 3rd frame
 
 
+def test_am_forward_skip_copy():
+    """skip_copy keeps T rows, copying each computed row onto the skipped
+    frames (ref _skip score copy, nnet-nnet.cc:93-116)."""
+    nnet = _tiny_model(jax.random.PRNGKey(6))
+    x = np.random.default_rng(6).standard_normal((1, 8, 3)).astype(np.float32)
+    sub, _ = am_forward(nnet.layers, jnp.asarray(x), nnet.init_state(1),
+                        skip=2)
+    full, _ = am_forward(nnet.layers, jnp.asarray(x), nnet.init_state(1),
+                         skip=2, skip_copy=True)
+    assert full.shape[1] == 8
+    expect = np.repeat(np.asarray(sub), 3, axis=1)[:, :8]
+    np.testing.assert_allclose(np.asarray(full), expect)
+
+
 _TOPO = """<TransitionModel>
 <Topology>
 <TopologyEntry>

@@ -19,7 +19,7 @@ from asr_decoder_tpu.vad.energy import EnergyVadConfig
 from test_beamsearch import random_decode_graph
 
 
-def make_info(seed=0, **online_kw):
+def make_info(seed=0, am_config=None, **online_kw):
     rng = np.random.default_rng(seed)
     num_labels = 15
     fst = random_decode_graph(rng, num_states=40, num_labels=num_labels)
@@ -34,8 +34,9 @@ def make_info(seed=0, **online_kw):
         nnet, fst, words, i2p,
         decoder_config=DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
                                      min_active=0, lattice_beam=8.0),
-        online_config=OnlineDecoderConfig(chunk_frames=16, **online_kw),
-        fbank_config=FbankConfig(num_bins=16))
+        online_config=OnlineDecoderConfig(
+            **{"chunk_frames": 16, **online_kw}),
+        fbank_config=FbankConfig(num_bins=16), am_config=am_config)
 
 
 def make_wave(seed=0, n=16000, amp=4000.0):
@@ -107,6 +108,35 @@ def test_reset_and_reinit(info):
     s.init_decoding()
     assert s.num_frames_decoded == 0
     assert s.get_best_path()["words"] == []
+
+
+def test_skip_copy_decodes_every_frame():
+    """skip_copy: the AM scores every 3rd frame but the search walks all
+    frames with copied scores (ref _skip score copy, nnet-nnet.cc:93-116);
+    chunk splits don't change the result."""
+    from asr_decoder_tpu.models.nnet import AmConfig
+    info_sc = make_info(am_config=AmConfig(skip=2, skip_copy=True),
+                        chunk_frames=18)
+    info_drop = make_info(am_config=AmConfig(skip=2), chunk_frames=18)
+    wave = make_wave(9)
+    ref = OnlineDecoderSession(info_sc)
+    ref.process_data(wave, eos=True)
+    drop = OnlineDecoderSession(info_drop)
+    drop.process_data(wave, eos=True)
+    # search walks (skip+1)x the frames of drop mode
+    assert ref.num_frames_decoded > 2.5 * drop.num_frames_decoded
+    r0 = ref.get_best_path()
+    for splits in ([5000, 11000], [16000]):
+        s = OnlineDecoderSession(info_sc)
+        prev = 0
+        for cut in splits:
+            s.process_data(wave[prev:cut])
+            prev = cut
+        s.process_data(wave[prev:], eos=True)
+        res = s.get_best_path()
+        assert res["words"] == r0["words"]
+        assert res["cost"] == pytest.approx(r0["cost"], abs=1e-3)
+        assert s.num_frames_decoded == ref.num_frames_decoded
 
 
 def test_endpoint_detection():
