@@ -135,6 +135,101 @@ class GoldDecoder:
                           reached_final=reached, lattice=lattice)
 
 
+class GoldClgDecoder:
+    """Host reference for CLG-on-the-fly decoding over the virtual
+    composite automaton (fst/clg.py): emitting expansion from HMM virtual
+    states, ε phase = CLG ε arcs + HMM entry hops + HMM exit hops.
+
+    Semantics parity target for ``TpuClgBeamSearch`` — equivalent (up to
+    the entry-hop retiming described in fst/clg.py) to the reference's
+    nested clg×hmm ProcessEmitting
+    (ref: src/my-decoder/online-clg-decoder-mempool-base.h:120-204)."""
+
+    def __init__(self, clgfst, ilabel2pdf: np.ndarray,
+                 config: DecoderConfig | None = None):
+        self.g = clgfst
+        self.ilabel2pdf = np.asarray(ilabel2pdf, np.int64)
+        self.config = config or DecoderConfig()
+
+    _prune = GoldDecoder._prune
+
+    def _eps_closure(self, toks, bp):
+        work = list(toks)
+        while work:
+            v = work.pop()
+            c = toks[v]
+            for dst, w, ol, kind, arc in self.g.eps_expand(v):
+                nc = c + w
+                if nc < toks.get(dst, INF):
+                    toks[dst] = nc
+                    bp[dst] = (v, ol, 0)
+                    work.append(dst)
+        return toks
+
+    def decode(self, loglikes: np.ndarray) -> GoldResult:
+        g = self.g
+        cfg = self.config
+        scale = cfg.acoustic_scale
+        T = loglikes.shape[0]
+
+        toks = {g.start(): 0.0}
+        bps: list[dict] = [dict()]
+        self._eps_closure(toks, bps[0])
+        toks = self._prune(toks)
+
+        for t in range(T):
+            ll = loglikes[t]
+            new: dict = {}
+            bp: dict = {}
+            for v, c in toks.items():
+                for dst, w, il in g.emit_expand(v):
+                    am = -scale * float(ll[self.ilabel2pdf[il]])
+                    nc = c + w + am
+                    if nc < new.get(dst, INF):
+                        new[dst] = nc
+                        bp[dst] = ((v, t), 0, il)
+            new = self._prune(new)
+            self._eps_closure(new, bp)
+            new = self._prune(new)
+            bps.append(bp)
+            toks = new
+
+        finals = {v: c for v, c in toks.items() if g.is_final(v)}
+        if finals:
+            best_key = min(finals, key=finals.get)
+            best_cost = finals[best_key]
+            reached = True
+        else:
+            best_key = min(toks, key=toks.get) if toks else None
+            best_cost = toks[best_key] if toks else INF
+            reached = False
+
+        words_rev, il_rev = [], []
+        if best_key is not None:
+            key = best_key
+            t = T
+            while t >= 0:
+                bp = bps[t]
+                took = False
+                while key in bp:
+                    prev, ol, il = bp[key]
+                    if isinstance(prev, tuple):   # emitting hop
+                        if il:
+                            il_rev.append(il)
+                        key = prev[0]
+                        took = True
+                        break
+                    if ol:
+                        words_rev.append(ol)
+                    key = prev
+                if t > 0 and not took:
+                    raise AssertionError("broken CLG backpointer chain")
+                t -= 1
+        return GoldResult(words=words_rev[::-1], ilabels=il_rev[::-1],
+                          cost=float(best_cost), reached_final=reached,
+                          lattice=None)
+
+
 class GoldBigLmDecoder:
     """Host reference for the BigLM in-search pair decoder: token identity
     is (fst_state, lm1_state, lm2_state) and word-olabel arcs add the

@@ -113,14 +113,27 @@ class OnlineDecoderInfo:
     (ref: OnlineDecoderInfo, kaldi-online-nnet3-my-decoder.h:85-231):
     AM, graph, device search engine, symbol table, configs."""
 
-    def __init__(self, nnet: Nnet, fst: StdFst, words: SymbolTable,
+    def __init__(self, nnet: Nnet, fst: StdFst | None, words: SymbolTable,
                  ilabel2pdf: np.ndarray,
                  decoder_config: DecoderConfig | None = None,
                  online_config: OnlineDecoderConfig | None = None,
                  fbank_config: FbankConfig | None = None,
                  am_config: AmConfig | None = None,
                  cmvn_config: CmvnConfig | None = None,
-                 vad_config: EnergyVadConfig | None = None):
+                 vad_config: EnergyVadConfig | None = None,
+                 clg_graph=None, difflm=None):
+        """``graph_type`` (OnlineDecoderConfig) picks the decoder variant
+        (ref decoder selection hclg|clg|biglm-hclg,
+        kaldi-online-nnet3-my-decoder.h:250-284):
+
+          * ``hclg``       — pre-composed graph ``fst`` (full lattice
+            support);
+          * ``clg``        — on-the-fly CLG⊗HMM composite: pass
+            ``clg_graph`` (fst/clg.py ClgFst); best-path output;
+          * ``biglm-hclg`` — in-search difference-LM rescoring: pass
+            ``fst`` + ``difflm`` (lm/device_lm.py DeviceDiffLm);
+            best-path output, lattices via post-pass rescoring.
+        """
         from asr_decoder_tpu.fst.device_fst import DeviceFst
         self.nnet = nnet
         self.fst = fst
@@ -135,8 +148,29 @@ class OnlineDecoderInfo:
             assert self.config.chunk_frames % (self.am_config.skip + 1) == 0, \
                 "skip_copy needs chunk_frames divisible by skip+1 (chunks " \
                 "must stay phase-aligned)"
-        dev = DeviceFst.build(fst, arc_lanes=self.decoder_config.arc_lanes)
-        self.search = TpuBeamSearch(dev, ilabel2pdf, self.decoder_config)
+        gt = self.config.graph_type
+        if gt == "hclg":
+            assert fst is not None, "hclg graph type needs fst"
+            dev = DeviceFst.build(fst,
+                                  arc_lanes=self.decoder_config.arc_lanes)
+            self.search = TpuBeamSearch(dev, ilabel2pdf,
+                                        self.decoder_config)
+        elif gt == "clg":
+            from asr_decoder_tpu.ops.beamsearch_clg import TpuClgBeamSearch
+            assert clg_graph is not None, "clg graph type needs clg_graph"
+            self.search = TpuClgBeamSearch(clg_graph, ilabel2pdf,
+                                           self.decoder_config)
+        elif gt == "biglm-hclg":
+            from asr_decoder_tpu.ops.beamsearch_biglm import \
+                TpuBigLmBeamSearch
+            assert fst is not None and difflm is not None, \
+                "biglm-hclg graph type needs fst + difflm"
+            dev = DeviceFst.build(fst,
+                                  arc_lanes=self.decoder_config.arc_lanes)
+            self.search = TpuBigLmBeamSearch(dev, ilabel2pdf, difflm,
+                                             self.decoder_config)
+        else:
+            raise ValueError(f"unknown graph_type {gt!r}")
         self.ilabel2pdf = np.asarray(ilabel2pdf, np.int64)
         # split a leading splice layer off: the FeatureBuffer applies it
         layers = nnet.layers
@@ -267,12 +301,17 @@ class OnlineDecoderSession:
         self.num_frames_decoded += valid
 
     # -- results -----------------------------------------------------------
-    def _merged_logs(self) -> FrameLog | None:
+    def _merged_logs(self):
+        """Concatenate per-chunk frame logs along the T axis — works for
+        every decoder variant's log pytree (leading axis is frames)."""
         if not self._chunk_logs:
             return None
-        return FrameLog(*(np.concatenate([np.asarray(getattr(l, f))
-                                          for l in self._chunk_logs], axis=0)
-                          for f in FrameLog._fields))
+        first = self._chunk_logs[0]
+        fields = [np.concatenate([np.asarray(l[i]) for l in
+                                  self._chunk_logs], axis=0)
+                  for i in range(len(first))]
+        return type(first)(*fields) if hasattr(first, "_fields") \
+            else tuple(fields)
 
     def get_best_path(self) -> dict:
         """Best path so far (partial before EOS) — words, ilabels, cost
@@ -281,6 +320,9 @@ class OnlineDecoderSession:
         if logs is None:
             return dict(arc_ids=[], cost=0.0, words=[], ilabels=[],
                         reached_final=False)
+        if self.info.config.graph_type == "clg":
+            return self.info.search.traceback(
+                self._beam, self._init_log, logs)[0]
         return self.info.search.traceback(
             self._beam, self._init_log, logs, self.info.fst)[0]
 
@@ -291,6 +333,10 @@ class OnlineDecoderSession:
     def get_lattice(self, determinize: bool = True):
         """Raw (or determinized) lattice of the utterance so far
         (ref: GetLattice, kaldi-online-nnet3-my-decoder.h:336)."""
+        if self.info.config.graph_type != "hclg":
+            raise RuntimeError(
+                "lattice output needs graph_type=hclg (biglm: decode hclg "
+                "and rescore the lattice post-pass, lm/compose.py)")
         logs = self._merged_logs()
         if logs is None:
             return None

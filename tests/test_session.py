@@ -139,6 +139,86 @@ def test_skip_copy_decodes_every_frame():
         assert s.num_frames_decoded == ref.num_frames_decoded
 
 
+def _info_kwargs(seed):
+    rng = np.random.default_rng(seed)
+    num_labels = 15
+    fst = random_decode_graph(rng, num_states=40, num_labels=num_labels)
+    nnet = make_flagship(jax.random.PRNGKey(seed), feat_dim=16, num_pdfs=16,
+                         hidden=16, proj=8, num_layers=1, context=1)
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for i in range(1, 6):
+        words.add(f"w{i}", i)
+    i2p = np.arange(num_labels + 1, dtype=np.int32)
+    return fst, nnet, words, i2p
+
+
+def _stream_words(info, wave, splits=()):
+    s = OnlineDecoderSession(info)
+    prev = 0
+    for cut in splits:
+        s.process_data(wave[prev:cut])
+        prev = cut
+    s.process_data(wave[prev:], eos=True)
+    return s.get_best_path()
+
+
+def test_graph_type_biglm_session():
+    """graph_type=biglm-hclg runs the in-search pair decoder in the live
+    session; the diff LM visibly changes costs vs plain hclg, and chunk
+    splits don't change the result."""
+    from asr_decoder_tpu.lm.arpa import parse_arpa
+    from asr_decoder_tpu.lm.device_lm import DeviceDiffLm
+    from test_lm import ARPA, ARPA2
+    fst, nnet, words, i2p = _info_kwargs(21)
+    fsa1 = parse_arpa(ARPA)
+    fsa2 = parse_arpa(ARPA2, word2id=fsa1.vocab)
+    difflm = DeviceDiffLm.build(fsa1, fsa2, 1.0, 4.0)
+    dec_cfg = DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
+                            min_active=0, eps_mode="sweeps")
+    base = OnlineDecoderInfo(
+        nnet, fst, words, i2p, decoder_config=dec_cfg,
+        online_config=OnlineDecoderConfig(chunk_frames=16),
+        fbank_config=FbankConfig(num_bins=16))
+    big = OnlineDecoderInfo(
+        nnet, fst, words, i2p, decoder_config=dec_cfg,
+        online_config=OnlineDecoderConfig(chunk_frames=16,
+                                          graph_type="biglm-hclg"),
+        fbank_config=FbankConfig(num_bins=16), difflm=difflm)
+    wave = make_wave(21)
+    r_base = _stream_words(base, wave)
+    r_big = _stream_words(big, wave)
+    assert abs(r_base["cost"] - r_big["cost"]) > 1e-3  # LM applied
+    r_big2 = _stream_words(big, wave, splits=(5000, 12000))
+    assert r_big2["words"] == r_big["words"]
+    assert r_big2["cost"] == pytest.approx(r_big["cost"], abs=1e-3)
+
+
+def test_graph_type_clg_session():
+    """graph_type=clg decodes the CLG⊗HMM composite in the live session."""
+    from test_clg import make_clg
+    _, nnet, words, _ = _info_kwargs(22)
+    _, clg_graph = make_clg(22, num_pdfs=15)
+    i2p = np.arange(16, dtype=np.int32)
+    info = OnlineDecoderInfo(
+        nnet, None, words, i2p,
+        decoder_config=DecoderConfig(beam=1e9, beam_width=256, arc_lanes=8,
+                                     max_active=256, min_active=0,
+                                     eps_mode="sweeps"),
+        online_config=OnlineDecoderConfig(chunk_frames=16,
+                                          graph_type="clg"),
+        fbank_config=FbankConfig(num_bins=16), clg_graph=clg_graph)
+    wave = make_wave(22)
+    r1 = _stream_words(info, wave)
+    r2 = _stream_words(info, wave, splits=(4000, 9000))
+    assert r1["words"] == r2["words"]
+    assert r1["cost"] == pytest.approx(r2["cost"], abs=1e-3)
+    s = OnlineDecoderSession(info)
+    s.process_data(wave, eos=True)
+    with pytest.raises(RuntimeError):
+        s.get_lattice()
+
+
 def test_endpoint_detection():
     info = make_info(use_energy_vad=True, endpoint_sil_frames=20,
                      min_endpoint_frames=10)
