@@ -21,7 +21,12 @@ class DecoderConfig:
     max_active: int = flag(7000, "Upper bound on active tokens per frame")
     min_active: int = flag(200, "Lower bound on active tokens per frame")
     lattice_beam: float = flag(10.0, "Lattice pruning beam")
-    prune_interval: int = flag(25, "Backward-prune active tokens every N frames")
+    # prune_interval (ref default 25) is deliberately absent: the reference
+    # prunes periodically to bound *memory* of its token/link heap
+    # (PruneActiveTokens, online-decoder-base-inl.h:439); the TPU search is
+    # fixed-shape [B,K] so memory never grows — extra-cost pruning happens
+    # once, at host lattice reconstruction (decoder/raw_lattice.py), with
+    # identical lattice_beam semantics.
     acoustic_scale: float = flag(1.0, "Scale on acoustic log-likelihoods")
     # TPU-native knobs
     beam_width: int = flag(

@@ -269,6 +269,12 @@ def _table_stage(rec, state, cost, *, K, beam, min_active,
     aid = table entry index or ARC_STAY."""
     B = state.shape[0]
     L = rec.shape[2]
+    if L == 0:
+        # zero-lane table (e.g. eps_iters forced >0 on an ε-free graph):
+        # nothing to relax — every token stays put
+        prev = jnp.broadcast_to(_lane_iota(K), (B, K))
+        aid = jnp.full((B, K), ARC_STAY, jnp.int32)
+        return state, cost, prev, aid
     N = K * L
     valid = state != NO_STATE
     s_safe = jnp.where(valid, state, 0)
@@ -473,6 +479,10 @@ class TpuBeamSearch:
         """Per-frame surviving-token sets {orig_state: cost} for utterance
         ``b``, folding split continuation states back to their source state
         (they are ε-0 copies, so min-merge is exact)."""
+        if not self.config.log_snapshots:
+            raise RuntimeError(
+                "lattice reconstruction needs DecoderConfig.log_snapshots="
+                "True (token snapshots were not recorded)")
         orig = self.dev.orig_state
         T = logs.tok_state.shape[0]
         if num_frames is None:

@@ -127,8 +127,11 @@ class BatchedStreamingDecoder:
                 info.cmvn_config, jnp.asarray(feats)[None], ch.cmvn_state)
             feats = np.asarray(normed)[0]
         spliced = ch.featbuf.accept(feats, end=eos)
+        # skip_copy subsamples + score-copies inside am_forward (chunks are
+        # phase-aligned: chunk_frames % (skip+1) == 0, asserted at info
+        # build); plain skip drops frames here — mirrors session.py exactly
         skip = info.am_config.skip
-        if skip and spliced.shape[0]:
+        if skip and spliced.shape[0] and not info.am_config.skip_copy:
             sel = (np.arange(spliced.shape[0]) + ch.skip_phase) \
                 % (skip + 1) == 0
             ch.skip_phase = (ch.skip_phase + spliced.shape[0]) % (skip + 1)
@@ -186,7 +189,8 @@ class BatchedStreamingDecoder:
             info.am_layers, jnp.asarray(feats), self._am_state,
             do_softmax=ac.do_softmax, do_log=ac.do_log,
             sub_prior=ac.sub_prior, block_pdf_pdfid=ac.block_pdf_pdfid,
-            block_scale=ac.block_scale, skip_block=ac.skip_block)
+            block_scale=ac.block_scale, skip_block=ac.skip_block,
+            skip=ac.skip if ac.skip_copy else 0, skip_copy=ac.skip_copy)
         active = jnp.asarray(valid > 0)
         # idle channels keep their LSTM carries bit-exactly
         self._am_state = [

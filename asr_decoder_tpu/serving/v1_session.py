@@ -73,15 +73,18 @@ class _SampleBuf:
             self._chunks.append(np.asarray(pcm, np.float32).ravel())
             self._n += len(pcm)
 
-    def frames(self, f0: int, f1: int) -> np.ndarray:
-        """Samples of frames [f0, f1): shift-spaced blocks plus the window
-        tail so the last frame has its full analysis window."""
+    def frames(self, f0: int, f1: int, tail: bool = False) -> np.ndarray:
+        """Samples of frames [f0, f1): shift-spaced blocks; with ``tail``
+        also the analysis-window tail (length-shift samples) so the last
+        frame has its full window.  Incremental feeds must pass
+        ``tail=False`` — sending the tail on every call would duplicate
+        samples into the downstream streaming frontend."""
         if len(self._chunks) > 1:
             self._chunks = [np.concatenate(self._chunks)]
         buf = self._chunks[0] if self._chunks else np.zeros(0, np.float32)
-        lo = f0 * self.shift
-        hi = min(f1 * self.shift + (self.length - self.shift), len(buf))
-        return buf[lo:hi]
+        lo = min(f0 * self.shift, len(buf))
+        hi = f1 * self.shift + (self.length - self.shift if tail else 0)
+        return buf[lo:min(hi, len(buf))]
 
 
 class V1AsrSession:
@@ -158,11 +161,15 @@ class V1AsrSession:
             self._next_feed = upto
 
     def _finalize(self, end_frame: int) -> None:
-        """AUDIO→SIL cut: flush + finalize the inner session, record the
-        segment result with its original-stream frame span, reset the
+        """AUDIO→SIL cut: feed any unfed frames plus the analysis-window
+        tail (exactly once per segment), finalize the inner session, record
+        the segment result with its original-stream frame span, reset the
         decoder + feature pipeline but NOT the VAD or totals
         (ref Init(false, …) after a cut, kaldi-v1-asr-online.h:480-485)."""
-        self._inner.process_data(np.zeros(0, np.float32), eos=True)
+        self._inner.process_data(
+            self._buf.frames(self._next_feed, end_frame, tail=True),
+            eos=True)
+        self._next_feed = end_frame
         res = self._inner.get_best_path()
         res["text"] = " ".join(self.info.words.words(res.get("words", [])))
         res["frame_span"] = (self._seg_start, end_frame)
@@ -185,7 +192,6 @@ class V1AsrSession:
             self._seg_start = beg
             self._next_feed = beg
             self._in_speech = True
-            self._feed(end)
             self._finalize(end)
 
     # -- results --------------------------------------------------------------
