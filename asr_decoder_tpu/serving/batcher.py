@@ -46,6 +46,8 @@ class _Channel:
     chunk_logs: list[FrameLog] = field(default_factory=list)
     loglikes: list[np.ndarray] = field(default_factory=list)
     frames_decoded: int = 0
+    vad: object = None             # per-channel EnergyVadStream (endpointing)
+    trailing_sil: int = 0
 
 
 def _tree_where(mask_b, new, old):
@@ -64,13 +66,27 @@ class BatchedStreamingDecoder:
     frames (the DynamicBatcher::Push/compute cycle).
     """
 
-    def __init__(self, info: OnlineDecoderInfo, num_channels: int):
+    def __init__(self, info: OnlineDecoderInfo, num_channels: int,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — dp-shards the channel
+        arenas over the mesh's ``dp`` axis (graph replicated), so one
+        arena serves streams across all chips of a slice (BASELINE
+        config 5; num_channels must divide by the dp size)."""
         self.info = info
         self.B = num_channels
+        self.mesh = mesh
         self._channels: list[_Channel | None] = [None] * num_channels
         self._free = list(range(num_channels))[::-1]
+        if mesh is not None:
+            from asr_decoder_tpu.parallel.decode import shard_search
+            assert num_channels % mesh.shape["dp"] == 0, \
+                (num_channels, dict(mesh.shape))
+            shard_search(mesh, info.search)
         # device arenas
         beam, init_log = info.search.init_state(num_channels)
+        if mesh is not None:
+            from asr_decoder_tpu.parallel.decode import shard_beam_state
+            beam = shard_beam_state(mesh, beam)
         self._beam = beam
         # init rows are identical across the arena: keep row 0 as template
         self._init_log_row = jax.tree_util.tree_map(
@@ -80,6 +96,12 @@ class BatchedStreamingDecoder:
             lambda a: a[:1], beam)
         self._am_state = [init_layer_state(l, num_channels)
                           for l in info.am_layers]
+        if mesh is not None:
+            from asr_decoder_tpu.parallel.mesh import data_sharding
+            self._am_state = [
+                {k: jax.device_put(v, data_sharding(mesh, v.ndim))
+                 for k, v in st.items()} if st else st
+                for st in self._am_state]
         self._am_zero_row = [init_layer_state(l, 1) for l in info.am_layers]
         C = info.config.chunk_frames
         D = info.am_layers[0].input_dim if info.am_layers else 0
@@ -92,9 +114,12 @@ class BatchedStreamingDecoder:
             raise RuntimeError("no free channels")
         cid = self._free.pop()
         info = self.info
+        from asr_decoder_tpu.vad.energy import EnergyVadStream
         self._channels[cid] = _Channel(
             fbank=StreamingFbank(info.fbank_config, batch=1),
-            featbuf=FeatureBuffer(info.left, info.right, info.splice_offsets))
+            featbuf=FeatureBuffer(info.left, info.right, info.splice_offsets),
+            vad=(EnergyVadStream(info.vad_config, batch=1)
+                 if info.config.use_energy_vad else None))
         self._reset_rows([cid])
         return cid
 
@@ -115,12 +140,44 @@ class BatchedStreamingDecoder:
              for k, v in st.items()} if st else st
             for st, z in zip(self._am_state, self._am_zero_row)]
 
+    def init_decoding(self, cid: int) -> None:
+        """Restart the channel's search only, keeping feature/AM streaming
+        state — the mid-stream endpoint restart (ref InitDecoding
+        (frame_offset), kaldi-online-nnet3-my-decoder.h:301-324)."""
+        ch = self._channels[cid]
+        assert ch is not None
+        idx = jnp.asarray(np.asarray([cid], np.int32))
+        self._beam = BeamState(*(
+            a.at[idx].set(jnp.broadcast_to(r, (1,) + r.shape[1:]))
+            for a, r in zip(self._beam, self._beam_init_row)))
+        ch.chunk_logs = []
+        ch.loglikes = []
+        ch.frames_decoded = 0
+
+    def endpoint_detected(self, cid: int) -> bool:
+        """ref EndpointDetected (kaldi-online-nnet3-my-decoder.h:344);
+        needs use_energy_vad."""
+        cfg = self.info.config
+        ch = self._channels[cid]
+        return (ch is not None
+                and ch.frames_decoded >= cfg.min_endpoint_frames
+                and ch.trailing_sil >= cfg.endpoint_sil_frames)
+
     # -- streaming input (host frontend, ref DynamicBatcher::Push) ---------
     def push(self, cid: int, pcm: np.ndarray, eos: bool = False) -> None:
         ch = self._channels[cid]
         assert ch is not None and not ch.eos
         info = self.info
         pcm = np.asarray(pcm, np.float32).reshape(1, -1)
+        if ch.vad is not None and pcm.shape[1]:
+            decisions = np.asarray(ch.vad.accept(pcm, end=eos))[0]
+            sil_run = 0
+            for d in decisions[::-1]:
+                if d:
+                    break
+                sil_run += 1
+            ch.trailing_sil = (ch.trailing_sil + sil_run
+                               if sil_run == len(decisions) else sil_run)
         feats = np.asarray(ch.fbank.accept(pcm, end=eos))[0]
         if info.cmvn_config is not None and feats.shape[0]:
             normed, ch.cmvn_state = live_cmvn(
@@ -185,8 +242,12 @@ class BatchedStreamingDecoder:
         if not advanced:
             return []
         ac = info.am_config
+        feats_dev = jnp.asarray(feats)
+        if self.mesh is not None:
+            from asr_decoder_tpu.parallel.mesh import shard_batch
+            feats_dev = shard_batch(self.mesh, feats_dev)
         loglikes, new_am = am_forward(
-            info.am_layers, jnp.asarray(feats), self._am_state,
+            info.am_layers, feats_dev, self._am_state,
             do_softmax=ac.do_softmax, do_log=ac.do_log,
             sub_prior=ac.sub_prior, block_pdf_pdfid=ac.block_pdf_pdfid,
             block_scale=ac.block_scale, skip_block=ac.skip_block,

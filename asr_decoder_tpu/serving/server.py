@@ -1,32 +1,43 @@
-"""Streaming ASR TCP service.
+"""Streaming ASR TCP service over a batched channel arena.
 
-Capability parity with the reference v2 service stack — socket setup
-(ref: src/service2/socket-class.h:19-70), the worker pool
-(ref: src/service2/thread-pool.h:16-66), the per-connection task loop
-(ref: src/v2-asr/v2-asr-task.h:57-327), and per-utterance RTF accounting
-(ref: src/service2/thread-info.h:10-23, v1-asr/v1-asr-task.h:238-251).
+Capability parity with the reference v2 service stack — socket setup with
+keepalive tuning (ref: src/service2/socket-class.h:19-70), the worker pool
+(ref: src/service2/thread-pool.h:16-66), the per-connection task loop with
+3-strike receive timeout and zero-chunk EOS repair
+(ref: src/v1-asr/v1-asr-task.h:83-110, src/v2-asr/v2-asr-task.h:57-327),
+and per-utterance RTF accounting (ref: src/service2/thread-info.h:10-23,
+v1-asr/v1-asr-task.h:238-251) — **and** with the reference's GPU serving
+architecture: a dynamic batcher that packs chunks from many streaming
+channels into one device dispatch
+(ref: src/gpu-asr/v1-gpu-kaldi-worker-pool.h:20-202, conf
+--max-batch-size=300 --num-channels=900, src/gpu-asr/conf/config.txt).
 
-Host-runtime design for TPU serving: connections are asyncio coroutines (the
-reference's 1-thread-per-connection becomes 1-coroutine-per-connection);
-device work is serialized through a bounded thread-pool executor so many
-streams share the single jitted decode program — sessions of one
-``OnlineDecoderInfo`` share all compilations.  A ``workers`` semaphore plays
-the reference's ``--nthread`` role as the admission limit.
+TPU-first design: connections are asyncio coroutines (the reference's
+1-thread-per-connection becomes 1-coroutine-per-connection) that push PCM
+into per-connection channels of one ``BatchedStreamingDecoder`` arena; a
+single device-loop coroutine ticks the arena — every tick is ONE jitted
+AM+search dispatch advancing every channel with a ready chunk, so N
+concurrent streams cost one XLA program per tick instead of N.  All
+device/host-model access is serialized through a 1-thread executor (the
+arena is single-writer by design; parallelism is *inside* the batched
+dispatch, not across Python threads).
 """
 
 from __future__ import annotations
 
 import asyncio
 import pickle
+import socket as socketlib
 import time
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import suppress
 from dataclasses import dataclass
 
+from asr_decoder_tpu.serving.batcher import BatchedStreamingDecoder
 from asr_decoder_tpu.serving.protocol import (C2SPackage, EndFlag,
                                               NbestResult, S2CPackage,
                                               frame_s2c, read_c2s)
-from asr_decoder_tpu.serving.session import (OnlineDecoderInfo,
-                                             OnlineDecoderSession)
+from asr_decoder_tpu.serving.session import OnlineDecoderInfo
 from asr_decoder_tpu.utils.config import ConfigOptions, flag
 from asr_decoder_tpu.utils.logging import get_logger
 
@@ -38,8 +49,17 @@ class SocketConfig:
     """ref: SocketConf (service2/socket-class.h:19-67)."""
     ip: str = flag("127.0.0.1", "Listen address")
     port: int = flag(8100, "Listen port")
-    nthread: int = flag(8, "Concurrent decode admission limit")
+    num_channels: int = flag(
+        32, "Streaming channels in the batched device arena (admission "
+            "limit; ref --num-channels, gpu-asr/conf/config.txt)")
     rec_timeout: int = flag(30, "Per-package receive timeout (s)")
+    timeout_strikes: int = flag(
+        3, "Consecutive receive timeouts before disconnect "
+           "(ref v1-asr-task.h:83-92)")
+    keepalive: bool = flag(True, "Enable TCP keepalive on connections")
+    keep_idle: int = flag(120, "TCP_KEEPIDLE seconds")
+    keep_interval: int = flag(10, "TCP_KEEPINTVL seconds")
+    keep_count: int = flag(3, "TCP_KEEPCNT probes")
 
     def register(self, opts: ConfigOptions, prefix: str = "") -> None:
         opts.register_dataclass(self, prefix)
@@ -61,21 +81,40 @@ class AsrServer:
                  socket_config: SocketConfig | None = None):
         self.info = info
         self.config = socket_config or SocketConfig()
+        # single-writer executor: every arena call (host frontend + device
+        # dispatch) runs here; batching happens inside the dispatch
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="device")
-        self._sem = asyncio.Semaphore(self.config.nthread)
+        self._batcher = BatchedStreamingDecoder(info,
+                                                self.config.num_channels)
+        self._chan_sem = asyncio.Semaphore(self.config.num_channels)
+        self._work = asyncio.Event()
+        self._chan_events: dict[int, asyncio.Event] = {}
         self._server: asyncio.AbstractServer | None = None
+        self._device_task: asyncio.Task | None = None
         self.total = UttStats()
+        self.dispatches = 0       # batched device steps
+        self.chunks_decoded = 0   # channel-chunks consumed across dispatches
+
+    async def _run(self, fn, *args):
+        return await asyncio.get_running_loop().run_in_executor(
+            self._pool, fn, *args)
 
     # -- lifecycle ---------------------------------------------------------
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
             self._handle, self.config.ip, self.config.port)
+        self._device_task = asyncio.ensure_future(self._device_loop())
         addr = self._server.sockets[0].getsockname()[:2]
-        LOG.info("listening on %s:%d", *addr)
+        LOG.info("listening on %s:%d (%d channels)", *addr,
+                 self.config.num_channels)
         return addr
 
     async def stop(self) -> None:
+        if self._device_task is not None:
+            self._device_task.cancel()
+            with suppress(asyncio.CancelledError):
+                await self._device_task
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
@@ -87,79 +126,146 @@ class AsrServer:
         async with self._server:
             await self._server.serve_forever()
 
+    # -- the batched device loop (ref DynamicBatcher compute cycle) --------
+    async def _device_loop(self) -> None:
+        """Tick the arena whenever any connection has pushed work: each
+        step() is one batched dispatch over every ready channel."""
+        while True:
+            await self._work.wait()
+            self._work.clear()
+            while True:
+                advanced = await self._run(self._batcher.step)
+                if not advanced:
+                    break
+                self.dispatches += 1
+                self.chunks_decoded += len(advanced)
+                for cid in advanced:
+                    ev = self._chan_events.get(cid)
+                    if ev is not None:
+                        ev.set()
+
+    async def _pump(self, cid: int) -> None:
+        """Block until the device loop has consumed every ready chunk of
+        this channel (clear-before-check: step() only completes inside the
+        same 1-thread executor as ready(), so a set() between our check and
+        wait() is always observed)."""
+        ev = self._chan_events[cid]
+        while True:
+            ev.clear()
+            if not await self._run(self._batcher.ready, cid):
+                return
+            self._work.set()
+            await ev.wait()
+
     # -- per-connection task loop (ref: v2-asr-task.h:57-327) --------------
+    def _tune_socket(self, writer: asyncio.StreamWriter) -> None:
+        """TCP keepalive tuning (ref socket-class.h:24-31)."""
+        sock = writer.get_extra_info("socket")
+        if sock is None or not self.config.keepalive:
+            return
+        with suppress(OSError):
+            sock.setsockopt(socketlib.SOL_SOCKET,
+                            socketlib.SO_KEEPALIVE, 1)
+            sock.setsockopt(socketlib.IPPROTO_TCP,
+                            socketlib.TCP_KEEPIDLE, self.config.keep_idle)
+            sock.setsockopt(socketlib.IPPROTO_TCP,
+                            socketlib.TCP_KEEPINTVL,
+                            self.config.keep_interval)
+            sock.setsockopt(socketlib.IPPROTO_TCP,
+                            socketlib.TCP_KEEPCNT, self.config.keep_count)
+
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
-        loop = asyncio.get_running_loop()
-        session: OnlineDecoderSession | None = None
+        self._tune_socket(writer)
+        cid: int | None = None
         stats = UttStats()
         sr = 16000
+        strikes = 0
         try:
-            async with self._sem:
-                while True:
-                    try:
-                        pkg = await asyncio.wait_for(
-                            read_c2s(reader), self.config.rec_timeout)
-                    except (asyncio.IncompleteReadError, ConnectionError):
+            while True:
+                try:
+                    pkg = await asyncio.wait_for(
+                        read_c2s(reader), self.config.rec_timeout)
+                    strikes = 0
+                except asyncio.TimeoutError:
+                    # 3-strike disconnect (ref v1-asr-task.h:83-92)
+                    strikes += 1
+                    if strikes >= self.config.timeout_strikes:
+                        LOG.warning("receive timeout ×%d, disconnecting",
+                                    strikes)
                         break
-                    if session is None or pkg.audio_head:
-                        session = await loop.run_in_executor(
-                            self._pool, self._new_session)
-                        stats = UttStats()
-                        sr = pkg.sample_rate.hz
-                    samples = pkg.samples()
-                    stats.wav_seconds += len(samples) / sr
-                    t0 = time.monotonic()
-                    await loop.run_in_executor(
-                        self._pool, session.process_data, samples,
-                        bool(pkg.end_flag))
-                    endpoint = session.endpoint_detected()
-                    reply = await loop.run_in_executor(
-                        self._pool, self._results, session, pkg,
-                        bool(pkg.end_flag) or endpoint)
-                    stats.work_seconds += time.monotonic() - t0
-                    writer.write(frame_s2c(reply))
-                    await writer.drain()
-                    if pkg.end_flag:
-                        LOG.info("utt done: wav=%.2fs work=%.2fs rtf=%.4f",
-                                 stats.wav_seconds, stats.work_seconds,
-                                 stats.rtf)
-                        self.total.wav_seconds += stats.wav_seconds
-                        self.total.work_seconds += stats.work_seconds
-                        session = None
-                    elif endpoint:
-                        # mid-stream endpoint: restart search, keep stream
-                        # (ref: MIDDLEEND + InitDecoding(frame_offset))
-                        await loop.run_in_executor(
-                            self._pool, session.init_decoding)
+                    continue
+                except (asyncio.IncompleteReadError, ConnectionError):
+                    break
+                if cid is not None and not pkg.data and not pkg.end_flag:
+                    # zero-length mid-stream chunk: forced-EOS repair
+                    # (ref v1-asr-task.h:105-110)
+                    pkg.end_flag = True
+                if cid is None or pkg.audio_head:
+                    if cid is not None:
+                        await self._close_channel(cid)
+                        cid = None
+                    await self._chan_sem.acquire()
+                    cid = await self._run(self._batcher.acquire)
+                    self._chan_events[cid] = asyncio.Event()
+                    stats = UttStats()
+                    sr = pkg.sample_rate.hz
+                samples = pkg.samples()
+                stats.wav_seconds += len(samples) / sr
+                t0 = time.monotonic()
+                await self._run(self._batcher.push, cid, samples,
+                                bool(pkg.end_flag))
+                await self._pump(cid)
+                endpoint = (not pkg.end_flag
+                            and self._batcher.endpoint_detected(cid))
+                reply = await self._run(self._results, cid, pkg,
+                                        bool(pkg.end_flag) or endpoint)
+                stats.work_seconds += time.monotonic() - t0
+                writer.write(frame_s2c(reply))
+                await writer.drain()
+                if pkg.end_flag:
+                    LOG.info("utt done: wav=%.2fs work=%.2fs rtf=%.4f",
+                             stats.wav_seconds, stats.work_seconds,
+                             stats.rtf)
+                    self.total.wav_seconds += stats.wav_seconds
+                    self.total.work_seconds += stats.work_seconds
+                    await self._close_channel(cid)
+                    cid = None
+                elif endpoint:
+                    # mid-stream endpoint: restart search, keep stream
+                    # (ref: MIDDLEEND + InitDecoding(frame_offset))
+                    await self._run(self._batcher.init_decoding, cid)
         finally:
+            if cid is not None:
+                await self._close_channel(cid)
             writer.close()
             try:
                 await writer.wait_closed()
             except ConnectionError:
                 pass
 
-    def _new_session(self) -> OnlineDecoderSession:
-        return OnlineDecoderSession(self.info)
+    async def _close_channel(self, cid: int) -> None:
+        await self._run(self._batcher.release, cid)
+        self._chan_events.pop(cid, None)
+        self._chan_sem.release()
 
-    def _results(self, session: OnlineDecoderSession, pkg: C2SPackage,
-                 final: bool) -> S2CPackage:
+    def _results(self, cid: int, pkg: C2SPackage, final: bool) -> S2CPackage:
         """Build the S2C reply (ref: v2-asr-task.h SendDataAndGetResult)."""
         end = (EndFlag.END if pkg.end_flag
                else EndFlag.MIDDLEEND if final else EndFlag.NOEND)
         reply = S2CPackage(end_flag=end)
         n = max(1, pkg.nbest) if final else 1
         if final and pkg.nbest > 1:
-            for r in session.get_nbest(n):
+            for r in self._batcher.get_nbest(cid, n):
                 reply.results.append(NbestResult(
                     r["text"], r["graph_cost"], r["am_cost"], r["words"]))
         if not reply.results:
-            best = session.get_best_path()
+            best = self._batcher.get_best_path(cid)
             reply.results.append(NbestResult(
                 " ".join(self.info.words.words(best.get("words", []))),
                 best.get("cost", 0.0), 0.0, best.get("words", [])))
         if final and pkg.lattice:
-            lat = session.get_lattice(determinize=True)
+            lat = self._batcher.get_lattice(cid, determinize=True)
             if lat is not None:
                 reply.lattice = pickle.dumps(lat.to_text())
         return reply

@@ -65,7 +65,7 @@ def test_server_end_to_end(info):
     want_nbest = ref_session.get_nbest_txt(3)
 
     async def run():
-        server = AsrServer(info, SocketConfig(port=0, nthread=4))
+        server = AsrServer(info, SocketConfig(port=0, num_channels=4))
         host, port = await server.start()
         try:
             client = AsyncAsrClient(host, port)
@@ -100,7 +100,7 @@ def test_server_load_generator(info):
         want.append(s.get_best_path_txt())
 
     async def run():
-        server = AsrServer(info, SocketConfig(port=0, nthread=4))
+        server = AsrServer(info, SocketConfig(port=0, num_channels=4))
         host, port = await server.start()
         try:
             return await load_generate(waves, concurrency=2,
@@ -113,3 +113,42 @@ def test_server_load_generator(info):
     assert stats.wav_seconds == pytest.approx(sum(len(w) for w in waves)
                                               / 16000, rel=0.01)
     assert sorted(stats.texts) == sorted(want)
+
+
+def test_server_batched_arena_16_clients(info):
+    """≥16 concurrent streams decode through ONE channel arena: results
+    equal per-session decoding, and the device loop genuinely batches —
+    many channel-chunks per dispatch (the gpu-asr dynamic-batcher behavior,
+    ref: src/gpu-asr/v1-gpu-kaldi-worker-pool.h:20-202)."""
+    n_clients = 16
+    waves = [make_wave(100 + s, n=8000) for s in range(n_clients)]
+    want = []
+    for w in waves:
+        s = OnlineDecoderSession(info)
+        s.process_data(w, eos=True)
+        want.append(s.get_best_path_txt())
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0,
+                                              num_channels=n_clients))
+        host, port = await server.start()
+        try:
+            async def one(w):
+                client = AsyncAsrClient(host, port)
+                await client.connect()
+                try:
+                    reply = await client.decode_utterance(w,
+                                                          chunk_samples=4000)
+                    return reply.one_best()
+                finally:
+                    await client.close()
+            texts = await asyncio.gather(*(one(w) for w in waves))
+            return list(texts), server.dispatches, server.chunks_decoded
+        finally:
+            await server.stop()
+
+    texts, dispatches, chunks = asyncio.run(run())
+    assert texts == want                       # (a) parity with sessions
+    assert chunks >= n_clients                 # every stream went through
+    # (b) real batching: the arena packed multiple channels per dispatch
+    assert chunks / max(dispatches, 1) >= 3.0, (chunks, dispatches)
