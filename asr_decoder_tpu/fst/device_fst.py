@@ -13,12 +13,19 @@ are kept in two separate CSR blocks so ProcessEmitting / ProcessNonemitting
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from asr_decoder_tpu.fst.fst import EPSILON, StdFst
+
+
+def _segment_arange(src_sorted: np.ndarray, n: int) -> np.ndarray:
+    """Position of each element within its (sorted) src segment."""
+    cnt = np.bincount(src_sorted, minlength=n)
+    off = np.zeros(n, np.int64)
+    np.cumsum(cnt[:-1], out=off[1:])
+    return np.arange(len(src_sorted), dtype=np.int64) - off[src_sorted]
 
 
 @dataclass
@@ -77,95 +84,90 @@ class DeviceFst:
     @staticmethod
     def build(fst: StdFst, arc_lanes: int = 16) -> "DeviceFst":
         """Split states so no state has more than ``arc_lanes`` emitting arcs
-        or more than ``arc_lanes`` ε-arcs (counting the continuation link)."""
+        or more than ``arc_lanes`` ε-arcs (counting the continuation link).
+
+        Fully vectorized (no per-arc Python): each oversized state becomes a
+        chain of nodes — node i holds emitting-arc group i (``arc_lanes`` per
+        group) and ε-arc group i (``arc_lanes-1`` per non-last group, the
+        spare lane holds the weight-0 ε continuation link) — an
+        equivalence-preserving WFST rewrite.  Original states keep their ids
+        (node 0), so start/final ids survive.
+        """
         assert arc_lanes >= 2
         if fst.max_out_degree() <= arc_lanes:
             # fast path: no splitting needed — vectorized CSR pack
             return DeviceFst._build_nosplit(fst)
         n = fst.num_states
+        A = arc_lanes
         src_all = np.repeat(np.arange(n, dtype=np.int64),
                             np.diff(fst.state_offset))
         is_eps = fst.arc_ilabel == EPSILON
-        arc_ids = np.arange(fst.num_arcs, dtype=np.int64)
+        arc_ids = np.arange(fst.num_arcs, dtype=np.int32)
 
-        # mutable per-state arc lists as (ilabel, olabel, weight, dst, arcid)
-        em_lists: list[list[tuple]] = [[] for _ in range(n)]
-        eps_lists: list[list[tuple]] = [[] for _ in range(n)]
-        for a in range(fst.num_arcs):
-            rec = (int(fst.arc_ilabel[a]), int(fst.arc_olabel[a]),
-                   float(fst.arc_weight[a]), int(fst.arc_dst[a]), int(a))
-            (eps_lists if is_eps[a] else em_lists)[int(src_all[a])].append(rec)
+        em_d = np.bincount(src_all[~is_eps], minlength=n)
+        eps_d = np.bincount(src_all[is_eps], minlength=n)
+        # nodes per state: enough groups for both blocks (non-last nodes
+        # donate one ε lane to the chain link)
+        k_em = np.maximum((em_d + A - 1) // A, 1)
+        k_eps = np.where(eps_d <= A, 1, (eps_d - 2) // (A - 1) + 1)
+        k = np.maximum(k_em, k_eps)
+        cont = k - 1
+        cont_base = np.zeros(n, np.int64)
+        np.cumsum(cont[:-1], out=cont_base[1:])
+        nn = int(n + cont.sum())
 
-        origin = list(range(n))
+        def node_id(s, i):
+            return np.where(i == 0, s, n + cont_base[s] + i - 1)
 
-        def _split(lists_em, lists_eps):
-            """Iteratively split any state with > arc_lanes arcs in a block:
-            keep the first arc_lanes-1, push the rest to a new continuation
-            state reached by a weight-0 ε-arc."""
-            s = 0
-            while s < len(lists_em):
-                for lists, other in ((lists_em, lists_eps),
-                                     (lists_eps, lists_em)):
-                    if len(lists[s]) > arc_lanes:
-                        keep = lists[s][:arc_lanes - 1] if lists is lists_eps \
-                            else lists[s][:arc_lanes]
-                        rest = lists[s][arc_lanes - 1:] if lists is lists_eps \
-                            else lists[s][arc_lanes:]
-                        cont = len(lists_em)
-                        lists_em.append([])
-                        lists_eps.append([])
-                        origin.append(origin[s])
-                        if lists is lists_eps:
-                            lists[s] = keep + [(EPSILON, EPSILON, 0.0, cont, -1)]
-                            lists_eps[cont] = rest
-                        else:
-                            lists[s] = keep
-                            lists_em[cont] = rest
-                            lists_eps[s] = lists_eps[s] + \
-                                [(EPSILON, EPSILON, 0.0, cont, -1)]
-                s += 1
-            return lists_em, lists_eps
+        em_src0 = src_all[~is_eps]
+        em_node = _segment_arange(em_src0, n) // A
+        em_srcN = node_id(em_src0, em_node)
 
-        em_lists, eps_lists = _split(em_lists, eps_lists)
-        nn = len(em_lists)
+        ep_src0 = src_all[is_eps]
+        ep_node = np.minimum(_segment_arange(ep_src0, n) // (A - 1),
+                             k[ep_src0] - 1)
+        ep_srcN = node_id(ep_src0, ep_node)
 
-        def _pack(lists, with_ilabel):
-            offset = np.zeros(nn, np.int32)
-            count = np.zeros(nn, np.int32)
-            il, ol, w, dst, aid = [], [], [], [], []
-            pos = 0
-            for s, arcs in enumerate(lists):
-                offset[s] = pos
-                count[s] = len(arcs)
-                pos += len(arcs)
-                for rec in arcs:
-                    il.append(rec[0])
-                    ol.append(rec[1])
-                    w.append(rec[2])
-                    dst.append(rec[3])
-                    aid.append(rec[4])
-            arrs = dict(
-                olabel=np.array(ol, np.int32),
-                weight=np.array(w, np.float32),
-                dst=np.array(dst, np.int32),
-                arcid=np.array(aid, np.int32),
-            )
-            if with_ilabel:
-                arrs["ilabel"] = np.array(il, np.int32)
-            return offset, count, arrs
+        link_s = np.repeat(np.arange(n, dtype=np.int64), cont)
+        link_i = _segment_arange(link_s, n)
+        link_src = node_id(link_s, link_i)
+        link_dst = node_id(link_s, link_i + 1)
 
-        em_off, em_cnt, em = _pack(em_lists, True)
-        eps_off, eps_cnt, eps = _pack(eps_lists, False)
+        def pack(src, *fields):
+            order = np.argsort(src, kind="stable")
+            counts = np.bincount(src, minlength=nn).astype(np.int32)
+            offsets = np.zeros(nn, np.int32)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            return (offsets, counts) + tuple(f[order] for f in fields)
 
+        em_off, em_cnt, em_il, em_ol, em_w, em_dst2, em_id = pack(
+            em_srcN, fst.arc_ilabel[~is_eps], fst.arc_olabel[~is_eps],
+            fst.arc_weight[~is_eps], fst.arc_dst[~is_eps], arc_ids[~is_eps])
+        eps_src = np.concatenate([ep_srcN, link_src])
+        eps_off, eps_cnt, eps_ol, eps_w, eps_dst2, eps_id = pack(
+            eps_src,
+            np.concatenate([fst.arc_olabel[is_eps],
+                            np.zeros(len(link_src), np.int32)]),
+            np.concatenate([fst.arc_weight[is_eps],
+                            np.zeros(len(link_src), np.float32)]),
+            np.concatenate([fst.arc_dst[is_eps].astype(np.int64), link_dst]),
+            np.concatenate([arc_ids[is_eps],
+                            np.full(len(link_src), -1, np.int32)]))
+        origin = np.concatenate([np.arange(n, dtype=np.int32),
+                                 np.repeat(np.arange(n, dtype=np.int32),
+                                           cont)])
         dev = DeviceFst(
             start=fst.start, final_state=fst.final_state, num_states=nn,
-            eps_depth=0, orig_state=np.array(origin, np.int32),
+            eps_depth=0, orig_state=origin,
             em_offset=em_off, em_count=em_cnt,
-            em_ilabel=em["ilabel"], em_olabel=em["olabel"],
-            em_weight=em["weight"], em_dst=em["dst"], em_arcid=em["arcid"],
+            em_ilabel=em_il.astype(np.int32),
+            em_olabel=em_ol.astype(np.int32),
+            em_weight=em_w.astype(np.float32),
+            em_dst=em_dst2.astype(np.int32), em_arcid=em_id,
             eps_offset=eps_off, eps_count=eps_cnt,
-            eps_olabel=eps["olabel"], eps_weight=eps["weight"],
-            eps_dst=eps["dst"], eps_arcid=eps["arcid"])
+            eps_olabel=eps_ol.astype(np.int32),
+            eps_weight=eps_w.astype(np.float32),
+            eps_dst=eps_dst2.astype(np.int32), eps_arcid=eps_id)
         dev.eps_depth = dev._compute_eps_depth()
         return dev
 
@@ -240,56 +242,92 @@ class DeviceFst:
         n = self.num_states
         if len(self.eps_dst) and float(self.eps_weight.min()) < 0.0:
             raise ValueError("negative epsilon weights: closure unsupported")
-        # ε adjacency: src -> [(weight, dst, eps_block_idx)]
-        esrc = np.repeat(np.arange(n, dtype=np.int64), self.eps_count)
-        adj: dict[int, list[tuple[float, int, int]]] = {}
-        for i in range(len(self.eps_dst)):
-            adj.setdefault(int(esrc[i]), []).append(
-                (float(self.eps_weight[i]), int(self.eps_dst[i]), i))
+        if len(self.eps_dst) == 0:
+            self.clo_offset = np.zeros(n, np.int32)
+            self.clo_count = np.zeros(n, np.int32)
+            self.clo_dst = np.zeros(0, np.int32)
+            self.clo_weight = np.zeros(0, np.float32)
+            self.clo_paths = []
+            return
+        # vectorized all-sources Bellman-Ford over the ε-subgraph: the
+        # relation R = {(s, v) → (dist, last_edge)} starts as the identity
+        # and is repeatedly expanded through ε arcs with a lexsort min-merge
+        # until fixpoint; the per-state-Dijkstra this replaces was
+        # hours-scale on production HCLGs
+        E_w = self.eps_weight.astype(np.float64)
+        E_dst = self.eps_dst.astype(np.int64)
+        e_off = np.zeros(n, np.int64)
+        np.cumsum(self.eps_count[:-1].astype(np.int64), out=e_off[1:])
+        e_cnt = self.eps_count.astype(np.int64)
+        # seed only states that can reach ε arcs (keeps R small)
+        has_eps = e_cnt > 0
+        R_s = np.where(has_eps)[0].astype(np.int64)
+        R_v = R_s.copy()
+        R_d = np.zeros(len(R_s), np.float64)
+        R_e = np.full(len(R_s), -1, np.int64)          # last edge of path
+        prev_key = None
+        for _ in range(nn_cap := 4 * n + 8):
+            # expand every entry (s, u) through u's ε arcs
+            cnt_u = e_cnt[R_v]
+            tot = int(cnt_u.sum())
+            if tot == 0:
+                break
+            ent = np.repeat(np.arange(len(R_s), dtype=np.int64), cnt_u)
+            base = np.repeat(e_off[R_v], cnt_u)
+            boff = np.zeros(len(R_s), np.int64)
+            np.cumsum(cnt_u[:-1], out=boff[1:])
+            ei = base + (np.arange(tot, dtype=np.int64)
+                         - np.repeat(boff, cnt_u))
+            c_s = np.concatenate([R_s, R_s[ent]])
+            c_v = np.concatenate([R_v, E_dst[ei]])
+            c_d = np.concatenate([R_d, R_d[ent] + E_w[ei]])
+            c_e = np.concatenate([R_e, ei])
+            key = c_s * n + c_v
+            order = np.lexsort((c_d, key))
+            ks = key[order]
+            first = np.concatenate([[True], ks[1:] != ks[:-1]])
+            sel = order[first]
+            R_s, R_v, R_d, R_e = c_s[sel], c_v[sel], c_d[sel], c_e[sel]
+            new_key = (ks[first], R_d)
+            if prev_key is not None and len(prev_key[0]) == len(new_key[0]) \
+                    and np.array_equal(prev_key[0], new_key[0]) \
+                    and np.array_equal(prev_key[1], new_key[1]):
+                break
+            prev_key = new_key
+        else:
+            raise ValueError("epsilon closure did not converge")
+        # drop identity entries; final arrays sorted by (s, v)
+        proper = R_v != R_s
+        C_s, C_v = R_s[proper], R_v[proper]
+        C_d, C_e = R_d[proper], R_e[proper]
+        count = np.bincount(C_s, minlength=n).astype(np.int32)
         offset = np.zeros(n, np.int32)
-        count = np.zeros(n, np.int32)
-        dsts: list[int] = []
-        wts: list[float] = []
+        np.cumsum(count[:-1], out=offset[1:])
+        # best-ε-path arc ids per entry: follow last-edge predecessors
+        # through the (s, u) table (searchsorted on the sorted keys);
+        # pred chains are consistent at fixpoint
+        keys = R_s * n + R_v
+        esrc = np.repeat(np.arange(n, dtype=np.int64), e_cnt)
         paths: list[np.ndarray] = []
-        pos = 0
-        for s in range(n):
-            offset[s] = pos
-            if s not in adj:
-                continue
-            # Dijkstra from s over ε arcs; pred[d] = (src, eps_idx)
-            dist = {s: 0.0}
-            pred: dict[int, tuple[int, int]] = {}
-            heap = [(0.0, s)]
-            while heap:
-                c, u = heapq.heappop(heap)
-                if c > dist.get(u, np.inf):
-                    continue
-                for w, v, ei in adj.get(u, ()):
-                    nc = c + w
-                    if nc < dist.get(v, np.inf):
-                        dist[v] = nc
-                        pred[v] = (u, ei)
-                        heapq.heappush(heap, (nc, v))
-            for d in sorted(dist):
-                if d == s:
-                    continue
-                dsts.append(d)
-                wts.append(dist[d])
-                # reconstruct best ε-path as original arc ids
-                path = []
-                v = d
-                while v != s:
-                    u, ei = pred[v]
-                    aid = int(self.eps_arcid[ei])
-                    if aid >= 0:    # drop split-chain bookkeeping links
-                        path.append(aid)
-                    v = u
-                paths.append(np.array(path[::-1], np.int64))
-                pos += 1
-            count[s] = pos - offset[s]
+        eps_arcid = self.eps_arcid
+        for i in range(len(C_s)):
+            s, e = int(C_s[i]), int(C_e[i])
+            path = []
+            for _ in range(n + 1):
+                aid = int(eps_arcid[e])
+                if aid >= 0:        # drop split-chain bookkeeping links
+                    path.append(aid)
+                u = int(esrc[e])
+                if u == s:
+                    break
+                j = int(np.searchsorted(keys, s * n + u))
+                e = int(R_e[j])
+            else:
+                raise ValueError("epsilon closure path cycle")
+            paths.append(np.array(path[::-1], np.int64))
         self.clo_offset = offset
         self.clo_count = count
-        self.clo_dst = np.array(dsts, np.int32)
-        self.clo_weight = np.array(wts, np.float32)
+        self.clo_dst = C_v.astype(np.int32)
+        self.clo_weight = C_d.astype(np.float32)
         self.clo_paths = paths
 

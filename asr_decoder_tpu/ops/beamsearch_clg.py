@@ -62,22 +62,24 @@ def make_clg_graph_arrays(g: ClgFst, ilabel2pdf: np.ndarray):
     offset = g.offset
 
     # --- per-CLG-state ε record rows (real ε + entry hops) ---------------
+    # vectorized: arc i of state s lands on lane (i - state_offset[s]);
+    # dst is the CLG ε destination for real ε arcs, the virtual HMM-entry
+    # id (i + offset) otherwise
     deg = np.diff(clg.state_offset)
     Ae = max(int(deg.max()) if S else 0, 1)
     eps_rec = np.zeros((S, 3, Ae), np.int32)
     eps_rec[:, 0, :] = -1
-    for s in range(S):
-        lo, hi = clg.arc_range(s)
-        ee = int(clg.state_eps_end[s])
-        lane = 0
-        for i in range(lo, hi):
-            if i < ee:                      # real CLG ε arc
-                eps_rec[s, 0, lane] = clg.arc_dst[i]
-            else:                           # HMM entry hop
-                eps_rec[s, 0, lane] = i + offset
-            eps_rec[s, 1, lane] = np.float32(clg.arc_weight[i]).view(np.int32)
-            eps_rec[s, 2, lane] = i
-            lane += 1
+    if clg.num_arcs:
+        arc_i = np.arange(clg.num_arcs, dtype=np.int64)
+        src = np.repeat(np.arange(S, dtype=np.int64), deg)
+        lane = arc_i - clg.state_offset[:-1][src]
+        is_real_eps = arc_i < clg.state_eps_end[src]
+        dst = np.where(is_real_eps, clg.arc_dst.astype(np.int64),
+                       arc_i + offset)
+        eps_rec[src, 0, lane] = dst.astype(np.int32)
+        eps_rec[src, 1, lane] = clg.arc_weight.astype(np.float32) \
+            .view(np.int32)
+        eps_rec[src, 2, lane] = arc_i.astype(np.int32)
 
     # --- HMM row block: unique HMMs concatenated --------------------------
     used = sorted(set(int(x) for x in clg.arc_ilabel[clg.arc_ilabel !=
@@ -123,10 +125,12 @@ def make_clg_graph_arrays(g: ClgFst, ilabel2pdf: np.ndarray):
                 hmm_exit[r, 1] = np.float32(exit_w).view(np.int32)
 
     arc_tab = np.zeros((clg.num_arcs + 1, 2), np.int32)
-    for a in range(clg.num_arcs):
-        il = int(clg.arc_ilabel[a])
-        arc_tab[a, 0] = row_start.get(il, 0)
-        arc_tab[a, 1] = clg.arc_dst[a]
+    if clg.num_arcs:
+        row_lut = np.zeros(int(clg.arc_ilabel.max()) + 1, np.int32)
+        for il, r in row_start.items():
+            row_lut[il] = r
+        arc_tab[:-1, 0] = row_lut[clg.arc_ilabel]
+        arc_tab[:-1, 1] = clg.arc_dst
 
     arrays = ClgGraphArrays(
         clg_eps_rec=jnp.asarray(eps_rec), arc_tab=jnp.asarray(arc_tab),
