@@ -60,14 +60,14 @@ def ctc_loss_fn(layers, x, labels, label_paddings, state):
 @partial(jax.jit, donate_argnums=(0,))
 def ctc_train_step(layers, opt_state, x, labels, label_paddings, state,
                    lr: float = 1e-3):
-    """One SGD-with-momentum CTC training step over the Layer pytree."""
+    """One Adam CTC training step over the Layer pytree."""
     loss, grads = jax.value_and_grad(ctc_loss_fn)(
         layers, x, labels, label_paddings, state)
-    tx = optax.sgd(lr, momentum=0.9)
+    tx = optax.adam(lr)
     updates, opt_state = tx.update(grads, opt_state, layers)
     layers = optax.apply_updates(layers, updates)
     return layers, opt_state, loss
 
 
 def init_opt_state(layers, lr: float = 1e-3):
-    return optax.sgd(lr, momentum=0.9).init(layers)
+    return optax.adam(lr).init(layers)
