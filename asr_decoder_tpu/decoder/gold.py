@@ -166,7 +166,8 @@ class GoldClgDecoder:
                     work.append(dst)
         return toks
 
-    def decode(self, loglikes: np.ndarray) -> GoldResult:
+    def decode(self, loglikes: np.ndarray,
+               want_lattice: bool = False) -> GoldResult:
         g = self.g
         cfg = self.config
         scale = cfg.acoustic_scale
@@ -176,6 +177,7 @@ class GoldClgDecoder:
         bps: list[dict] = [dict()]
         self._eps_closure(toks, bps[0])
         toks = self._prune(toks)
+        frame_toks = [dict(toks)]
 
         for t in range(T):
             ll = loglikes[t]
@@ -193,6 +195,7 @@ class GoldClgDecoder:
             new = self._prune(new)
             bps.append(bp)
             toks = new
+            frame_toks.append(dict(toks))
 
         finals = {v: c for v, c in toks.items() if g.is_final(v)}
         if finals:
@@ -225,9 +228,15 @@ class GoldClgDecoder:
                 if t > 0 and not took:
                     raise AssertionError("broken CLG backpointer chain")
                 t -= 1
+        lattice = None
+        if want_lattice:
+            from asr_decoder_tpu.decoder.raw_lattice import (
+                ClgExpander, lattice_from_token_sets_generic)
+            lattice = lattice_from_token_sets_generic(
+                ClgExpander(g), frame_toks, loglikes, self.ilabel2pdf, cfg)
         return GoldResult(words=words_rev[::-1], ilabels=il_rev[::-1],
                           cost=float(best_cost), reached_final=reached,
-                          lattice=None)
+                          lattice=lattice)
 
 
 class GoldBigLmDecoder:
@@ -293,7 +302,8 @@ class GoldBigLmDecoder:
                     work.append(nk)
         return toks
 
-    def decode(self, loglikes: np.ndarray) -> GoldResult:
+    def decode(self, loglikes: np.ndarray,
+               want_lattice: bool = False) -> GoldResult:
         fst = self.fst
         cfg = self.config
         scale = cfg.acoustic_scale
@@ -304,6 +314,7 @@ class GoldBigLmDecoder:
         bps: list[dict] = [dict()]
         self._eps_closure(toks, bps[0])
         toks = self._prune(toks)
+        frame_toks = [dict(toks)]
 
         for t in range(T):
             ll = loglikes[t]
@@ -327,6 +338,7 @@ class GoldBigLmDecoder:
             new = self._prune(new)
             bps.append(bp)
             toks = new
+            frame_toks.append(dict(toks))
 
         final_id = fst.final_state
         finals = {k: c + self._lm_final(k[1], k[2])
@@ -367,6 +379,13 @@ class GoldBigLmDecoder:
             il = fst.arc_ilabel[arc_ids]
             words = [int(x) for x in ol[ol != 0]]
             ilabels = [int(x) for x in il[il != 0]]
+        lattice = None
+        if want_lattice:
+            from asr_decoder_tpu.decoder.raw_lattice import (
+                BigLmExpander, lattice_from_token_sets_generic)
+            exp = BigLmExpander(fst, self._lm_advance, self._lm_final)
+            lattice = lattice_from_token_sets_generic(
+                exp, frame_toks, loglikes, self.ilabel2pdf, cfg)
         return GoldResult(words=words, ilabels=ilabels,
                           cost=float(best_cost), reached_final=reached,
-                          lattice=None)
+                          lattice=lattice)

@@ -133,21 +133,39 @@ def lattice_from_token_sets(
                 e_is_eps.append(np.zeros(keep.sum(), bool))
     if not e_src:
         return None
-    e_src = np.concatenate(e_src)
-    e_dst = np.concatenate(e_dst)
-    e_il = np.concatenate(e_il)
-    e_ol = np.concatenate(e_ol)
-    e_gw = np.concatenate(e_gw)
-    e_am = np.concatenate(e_am)
-    e_frame = np.concatenate(e_frame)
-    e_is_eps = np.concatenate(e_is_eps)
+    links = (np.concatenate(e_src), np.concatenate(e_dst),
+             np.concatenate(e_il), np.concatenate(e_ol),
+             np.concatenate(e_gw), np.concatenate(e_am),
+             np.concatenate(e_frame), np.concatenate(e_is_eps))
+
+    # finals: super-final node gets final cost 0; none present → all-0
+    # fallback (ref ComputeFinalCosts fallback, inl.h:671-724)
+    fi = _member_idx(np.array([final_id], np.int64), node_states[T])[0]
+    beta_last = np.full(node_off[T + 1] - node_off[T], INF)
+    if fi >= 0:
+        beta_last[fi] = 0.0
+    si = _member_idx(np.array([fst.start], np.int64), node_states[0])[0]
+    start_node = int(node_off[0] + si) if si >= 0 else -1
+    return _finish_lattice(node_off, alpha, links, T, beta_last,
+                           start_node, cfg)
+
+
+def _finish_lattice(node_off, alpha, links, T, beta_last, start_node,
+                    cfg: DecoderConfig) -> Lattice | None:
+    """Backward pass + lattice-beam pruning + assembly, shared by the
+    vectorized StdFst builder and the generic expander builder.
+
+    ``beta_last``: final cost per last-frame node (INF = not final); all-INF
+    falls back to all-0 (ref ComputeFinalCosts fallback, inl.h:671-724).
+    ``start_node``: global node id of (frame 0, start state), or -1.
+    """
+    (e_src, e_dst, e_il, e_ol, e_gw, e_am, e_frame, e_is_eps) = links
+    n_nodes = len(alpha)
     e_cost = e_gw + e_am
 
-    # ---- finals (ref ComputeFinalCosts fallback, inl.h:671-724) ----------
     beta = np.full(n_nodes, INF)
-    fi = _member_idx(np.array([final_id], np.int64), node_states[T])[0]
-    if fi >= 0:
-        beta[node_off[T] + fi] = 0.0
+    if np.isfinite(beta_last).any():
+        beta[node_off[T]:node_off[T + 1]] = beta_last
     else:
         beta[node_off[T]:node_off[T + 1]] = 0.0
 
@@ -200,25 +218,158 @@ def lattice_from_token_sets(
             int(e_il[k]), int(e_ol[k]),
             LatticeWeight(float(e_gw[k]), float(e_am[k])),
             int(ids[e_dst[k]])))
-    # start node: (0, fst.start), else best kept frame-0 node
-    si = _member_idx(np.array([fst.start], np.int64), node_states[0])[0]
-    start_node = node_off[0] + si if si >= 0 else -1
+    # start node: (0, start state), else best kept frame-0 node
     if start_node < 0 or not kept_node[start_node]:
         f0 = np.arange(node_off[0], node_off[1])
         f0 = f0[kept_node[f0]]
         if len(f0) == 0:
             return None
-        start_node = f0[np.argmin(alpha[f0])]
+        start_node = int(f0[np.argmin(alpha[f0])])
     lat.set_start(int(ids[start_node]))
-    if fi >= 0:
-        n = node_off[T] + fi
-        if kept_node[n]:
-            lat.set_final(int(ids[n]))
-    else:
-        for n in range(node_off[T], node_off[T + 1]):
-            if kept_node[n]:
-                lat.set_final(int(ids[n]))
+    had_final = np.isfinite(beta_last).any()
+    for i in range(node_off[T + 1] - node_off[T]):
+        n = node_off[T] + i
+        if kept_node[n] and (np.isfinite(beta_last[i]) or not had_final):
+            w = LatticeWeight(float(beta_last[i]), 0.0) if had_final \
+                else LatticeWeight.one()
+            lat.set_final(int(ids[n]), w)
     lat.connect()
     if lat.num_states == 0 or lat.start < 0:
         return None
     return lat
+
+
+class ClgExpander:
+    """Expansion view of the CLG⊗HMM virtual composite for the generic
+    lattice builder (host mirror of the device kernel's two-level
+    indirection; ref CLG GetRawLattice inherits the base
+    online-decoder-base-inl.h:869-977 over virtual states)."""
+
+    def __init__(self, clgfst):
+        self.g = clgfst
+
+    @property
+    def start_key(self):
+        return self.g.start()
+
+    def final_cost(self, key) -> float:
+        return 0.0 if self.g.is_final(key) else float(INF)
+
+    def expand(self, key):
+        """Yield (dst_key, il, ol, graph_w, is_eps)."""
+        for dst, w, ol, _kind, _arc in self.g.eps_expand(key):
+            yield dst, 0, ol, w, True
+        for dst, w, il in self.g.emit_expand(key):
+            yield dst, il, 0, w, False
+
+
+class BigLmExpander:
+    """Expansion view of the HCLG ⊗ (G₂−G₁) pair automaton: token keys are
+    (fst_state, lm1_state, lm2_state); word-olabel arcs fold the
+    difference-LM score into the graph cost (ref ProcessEmitting LM fold,
+    online-decoder-mempool-base-biglm.h:316-402) and final pair states add
+    the LM sentence-end cost (ref ComputeFinalCosts :161-216)."""
+
+    def __init__(self, fst: StdFst, lm_advance, lm_final):
+        """``lm_advance(l1, l2, word) -> (n1, n2, cost)``;
+        ``lm_final(l1, l2) -> cost``."""
+        self.fst = fst
+        self.lm_advance = lm_advance
+        self.lm_final = lm_final
+
+    @property
+    def start_key(self):
+        return None     # start handled by token sets (pair start varies)
+
+    def final_cost(self, key) -> float:
+        s, l1, l2 = key
+        if s != self.fst.final_state:
+            return float(INF)
+        return float(self.lm_final(l1, l2))
+
+    def expand(self, key):
+        s, l1, l2 = key
+        fst = self.fst
+        lo, hi = int(fst.state_offset[s]), int(fst.state_offset[s + 1])
+        ee = int(fst.state_eps_end[s])
+        for i in range(lo, hi):
+            il = int(fst.arc_ilabel[i])
+            ol = int(fst.arc_olabel[i])
+            w = float(fst.arc_weight[i])
+            d = int(fst.arc_dst[i])
+            if ol:
+                n1, n2, lc = self.lm_advance(l1, l2, ol)
+                yield (d, int(n1), int(n2)), il, ol, w + float(lc), i < ee
+            else:
+                yield (d, l1, l2), il, ol, w, i < ee
+
+
+def lattice_from_token_sets_generic(
+        expander, frame_toks: list[dict], loglikes: np.ndarray,
+        ilabel2pdf: np.ndarray, cfg: DecoderConfig) -> Lattice | None:
+    """Generic raw-lattice reconstruction over arbitrary hashable token
+    keys (virtual CLG states, BigLM pair states, ...).  Same semantics as
+    ``lattice_from_token_sets``; per-token host expansion instead of the
+    vectorized CSR pass (token sets are beam-bounded, so this is O(T·K·A))."""
+    scale = cfg.acoustic_scale
+    ilabel2pdf = np.asarray(ilabel2pdf, np.int64)
+    T = len(frame_toks) - 1
+
+    node_idx: list[dict] = []
+    alpha_l: list[float] = []
+    node_off = np.zeros(T + 2, np.int64)
+    for t, toks in enumerate(frame_toks):
+        d = {}
+        for k in sorted(toks):
+            d[k] = len(alpha_l)
+            alpha_l.append(toks[k])
+        node_idx.append(d)
+        node_off[t + 1] = len(alpha_l)
+    n_nodes = len(alpha_l)
+    if n_nodes == 0:
+        return None
+    alpha = np.array(alpha_l, np.float64)
+
+    e_src, e_dst, e_il, e_ol = [], [], [], []
+    e_gw, e_am, e_frame, e_is_eps = [], [], [], []
+    for t in range(T + 1):
+        cur = node_idx[t]
+        nxt = node_idx[t + 1] if t < T else None
+        for key, src_id in cur.items():
+            for dk, il, ol, gw, is_eps in expander.expand(key):
+                if is_eps:
+                    j = cur.get(dk)
+                    if j is None:
+                        continue
+                    am = 0.0
+                elif nxt is None:
+                    continue
+                else:
+                    j = nxt.get(dk)
+                    if j is None:
+                        continue
+                    am = -scale * float(loglikes[t, ilabel2pdf[il]])
+                e_src.append(src_id)
+                e_dst.append(j)
+                e_il.append(0 if is_eps else il)
+                e_ol.append(ol)
+                e_gw.append(gw)
+                e_am.append(am)
+                e_frame.append(t)
+                e_is_eps.append(is_eps)
+    if not e_src:
+        return None
+    links = (np.array(e_src, np.int64), np.array(e_dst, np.int64),
+             np.array(e_il, np.int64), np.array(e_ol, np.int64),
+             np.array(e_gw, np.float64), np.array(e_am, np.float64),
+             np.array(e_frame, np.int64), np.array(e_is_eps, bool))
+
+    last_keys = sorted(frame_toks[T])
+    beta_last = np.array([expander.final_cost(k) for k in last_keys],
+                         np.float64) if last_keys else np.zeros(0)
+    start_node = -1
+    sk = expander.start_key
+    if sk is not None and sk in node_idx[0]:
+        start_node = node_idx[0][sk]
+    return _finish_lattice(node_off, alpha, links, T, beta_last,
+                           start_node, cfg)

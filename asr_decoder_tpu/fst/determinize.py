@@ -61,22 +61,35 @@ def _topo_order(lat: Lattice) -> list[int]:
     return order
 
 
-def determinize_lattice(lat: Lattice, max_states: int = 500_000) -> Lattice:
-    """Determinize on word (olabel) sequences.  Input must be acyclic."""
+def determinize_lattice(lat: Lattice, max_states: int = 500_000,
+                        max_work: int = 4_000_000) -> Lattice:
+    """Determinize on word (olabel) sequences.  Input must be acyclic.
+
+    ``max_work`` bounds total relaxation steps — degenerate lattices (huge
+    per-word ilabel-string subsets) raise ``DeterminizeError`` instead of
+    running away, the role of Kaldi's determinize max-mem/max-loop guard
+    (callers fall back to the raw lattice, see session.get_lattice).
+    """
     if lat.start < 0 or lat.num_states == 0:
         return Lattice()
     topo = _topo_order(lat)
     topo_pos = {s: i for i, s in enumerate(topo)}
+    work = [0]
 
     def closure(pairs: dict[int, tuple[_W, tuple]]):
         """Follow olabel-ε arcs, accumulating weight and ilabel string.
-        Exact over the DAG: relax states in topological order."""
-        agenda = sorted(pairs, key=lambda s: topo_pos[s])
-        seen = set(agenda)
-        i = 0
-        while i < len(agenda):
-            s = agenda[i]
-            i += 1
+        Exact over the DAG: relax states in topological order (lazy heap;
+        ε arcs only go forward in topo order, so every state pops with its
+        final value — duplicate pops are idempotent)."""
+        import heapq
+        heap = [(topo_pos[s], s) for s in pairs]
+        heapq.heapify(heap)
+        while heap:
+            work[0] += 1
+            if work[0] > max_work:
+                raise DeterminizeError(
+                    f"determinization exceeded {max_work} steps")
+            _, s = heapq.heappop(heap)
             w, st = pairs[s]
             for a in lat.arcs(s):
                 if a.olabel != EPSILON:
@@ -85,13 +98,7 @@ def determinize_lattice(lat: Lattice, max_states: int = 500_000) -> Lattice:
                 ns = st + ((a.ilabel,) if a.ilabel != EPSILON else ())
                 if a.dst not in pairs or _better(nw, ns, *pairs[a.dst]):
                     pairs[a.dst] = (nw, ns)
-                    if a.dst not in seen:
-                        seen.add(a.dst)
-                        # insert keeping agenda topologically sorted
-                        agenda.append(a.dst)
-                        agenda.sort(key=lambda x: topo_pos[x])
-                        # restart from the earliest possibly-stale position
-                        i = min(i, agenda.index(a.dst))
+                    heapq.heappush(heap, (topo_pos[a.dst], a.dst))
         return pairs
 
     def normalize(pairs: dict[int, tuple[_W, tuple]]):

@@ -316,36 +316,57 @@ class Lattice:
 
     # -- (de)serialization (binary layout mirrors the reference:
     #     ref: lattice-fst.cc Read/Write) ---------------------------------
+    def _write_stream(self, f) -> None:
+        f.write(struct.pack("<iii", self.start, self.num_states,
+                            self.num_arcs))
+        for s in range(self.num_states):
+            fw = self.final(s)
+            f.write(struct.pack("<iff", len(self._arcs[s]),
+                                fw.value1, fw.value2))
+            for a in self._arcs[s]:
+                f.write(struct.pack("<iiffi", a.ilabel, a.olabel,
+                                    a.weight.value1, a.weight.value2,
+                                    a.dst))
+
     def write_binary(self, path: str) -> None:
         with open(path, "wb") as f:
-            f.write(struct.pack("<iii", self.start, self.num_states,
-                                self.num_arcs))
-            for s in range(self.num_states):
-                fw = self.final(s)
-                f.write(struct.pack("<iff", len(self._arcs[s]),
-                                    fw.value1, fw.value2))
-                for a in self._arcs[s]:
-                    f.write(struct.pack("<iiffi", a.ilabel, a.olabel,
-                                        a.weight.value1, a.weight.value2,
-                                        a.dst))
+            self._write_stream(f)
+
+    def to_bytes(self) -> bytes:
+        """Wire form (same layout as the binary file) — the payload the
+        post-processing service ships (ref lattice transport,
+        src/post-processing-service/post-package.h)."""
+        import io
+        buf = io.BytesIO()
+        self._write_stream(buf)
+        return buf.getvalue()
+
+    @staticmethod
+    def _read_stream(f) -> "Lattice":
+        lat = Lattice()
+        start, nstates, narcs = struct.unpack("<iii", f.read(12))
+        for _ in range(nstates):
+            lat.add_state()
+        lat.set_start(start)
+        for s in range(nstates):
+            na, f1, f2 = struct.unpack("<iff", f.read(12))
+            fw = LatticeWeight(f1, f2)
+            if not fw.is_zero():
+                lat.set_final(s, fw)
+            for _ in range(na):
+                il, ol, w1, w2, d = struct.unpack("<iiffi", f.read(20))
+                lat.add_arc(s, LatticeArc(il, ol, LatticeWeight(w1, w2), d))
+        return lat
 
     @staticmethod
     def read_binary(path: str) -> "Lattice":
-        lat = Lattice()
         with open(path, "rb") as f:
-            start, nstates, narcs = struct.unpack("<iii", f.read(12))
-            for _ in range(nstates):
-                lat.add_state()
-            lat.set_start(start)
-            for s in range(nstates):
-                na, f1, f2 = struct.unpack("<iff", f.read(12))
-                fw = LatticeWeight(f1, f2)
-                if not fw.is_zero():
-                    lat.set_final(s, fw)
-                for _ in range(na):
-                    il, ol, w1, w2, d = struct.unpack("<iiffi", f.read(20))
-                    lat.add_arc(s, LatticeArc(il, ol, LatticeWeight(w1, w2), d))
-        return lat
+            return Lattice._read_stream(f)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Lattice":
+        import io
+        return Lattice._read_stream(io.BytesIO(data))
 
     # -- text dump for tests ----------------------------------------------
     def to_text(self) -> str:

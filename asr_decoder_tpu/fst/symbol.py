@@ -48,6 +48,10 @@ class SymbolTable:
     def words(self, ids) -> list[str]:
         return [self.find_word(int(i)) for i in ids]
 
+    def items(self):
+        """(word, id) pairs."""
+        return self._str2id.items()
+
     def __len__(self) -> int:
         return len(self._id2str)
 

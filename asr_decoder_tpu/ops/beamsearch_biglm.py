@@ -68,6 +68,13 @@ class BigLmFrameLog(NamedTuple):
     prev_slot: jax.Array    # i32[stages,B,K]  (advance: [T,stages,B,K])
     arc_id: jax.Array       # i32[stages,B,K]
     overflow: jax.Array     # bool[B] (advance: [T,B]) — word cands dropped
+    # post-frame surviving-token snapshots (log_snapshots; zero-width off):
+    # pair-state identity (fst, lm1, lm2) + cost — all the host needs for
+    # exact raw-lattice reconstruction over the pair automaton
+    tok_state: jax.Array    # i32[B,K]  (advance: [T,B,K])
+    tok_cost: jax.Array     # f32[B,K]
+    tok_lm1: jax.Array      # i32[B,K]
+    tok_lm2: jax.Array      # i32[B,K]
 
 
 def make_biglm_graph_arrays(dev: DeviceFst,
@@ -259,7 +266,7 @@ def _init_fn(g: BigLmGraphArrays, lm_tabs, batch: int, static_cfg: tuple):
     state, cost, l1, l2, (prev, aid), ovf = _eps_stages(
         g, lm_tabs, state, cost, l1, l2, cfg=cfg)
     return (BigLmBeamState(state, cost, l1, l2),
-            BigLmFrameLog(prev, aid, ovf))
+            BigLmFrameLog(prev, aid, ovf, state, cost, l1, l2))
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -290,15 +297,19 @@ def _advance_fn(g: BigLmGraphArrays, lm_tabs, state: BigLmBeamState,
         prev = jnp.where(m3, prev, slot_id)
         aid = jnp.where(m3, aid, ARC_STAY)
         ovf = ovf & mask
-        return (ns, nc, n1, n2), (prev, aid, ovf)
+        ys = [prev, aid, ovf]
+        if cfg["log_snapshots"]:
+            ys += [ns, nc, n1, n2]
+        else:
+            z = jnp.zeros((ns.shape[0], 0), jnp.int32)
+            ys += [z, jnp.zeros((ns.shape[0], 0), jnp.float32), z, z]
+        return (ns, nc, n1, n2), tuple(ys)
 
     lls = jnp.swapaxes(loglikes, 0, 1)
     masks = jnp.swapaxes(frame_mask, 0, 1)
     carry0 = (state.tok_state, state.tok_cost, state.tok_lm1, state.tok_lm2)
-    (st, co, l1, l2), (prevs, aids, ovfs) = jax.lax.scan(
-        scan_body, carry0, (lls, masks))
-    return (BigLmBeamState(st, co, l1, l2),
-            BigLmFrameLog(prevs, aids, ovfs))
+    (st, co, l1, l2), ys = jax.lax.scan(scan_body, carry0, (lls, masks))
+    return (BigLmBeamState(st, co, l1, l2), BigLmFrameLog(*ys))
 
 
 class TpuBigLmBeamSearch:
@@ -343,9 +354,11 @@ class TpuBigLmBeamSearch:
             lm2_probes=difflm.lm2.max_probes,
             lm1_scale=float(difflm.lm1_scale),
             lm2_scale=float(difflm.lm2_scale),
+            log_snapshots=bool(cfg.log_snapshots),
         ).items()))
         self.beam_width = K
         self.num_stages = 1 + eps_iters
+        self._ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
 
     def init_state(self, batch: int):
         return _init_fn(self.graph, self._lm_tabs, batch, self._static)
@@ -363,6 +376,68 @@ class TpuBigLmBeamSearch:
         state, init_log = self.init_state(B)
         state, logs = self.advance(state, loglikes, frame_mask)
         return state, init_log, logs
+
+    def token_sets(self, init_log: BigLmFrameLog, logs: BigLmFrameLog,
+                   b: int, num_frames: int | None = None) -> list[dict]:
+        """Per-frame surviving pair-token sets
+        {(orig_fst_state, lm1, lm2): cost} for utterance ``b``
+        (index 0 = post-init ε-closure); split continuation states fold
+        back to their source state."""
+        if not self.config.log_snapshots:
+            raise RuntimeError(
+                "lattice reconstruction needs DecoderConfig.log_snapshots="
+                "True (token snapshots were not recorded)")
+        orig = self.dev.orig_state
+        T = np.asarray(logs.tok_state).shape[0]
+        if num_frames is None:
+            num_frames = T
+        snaps = [(np.asarray(init_log.tok_state[b]),
+                  np.asarray(init_log.tok_cost[b]),
+                  np.asarray(init_log.tok_lm1[b]),
+                  np.asarray(init_log.tok_lm2[b]))]
+        snaps += [(np.asarray(logs.tok_state[t, b]),
+                   np.asarray(logs.tok_cost[t, b]),
+                   np.asarray(logs.tok_lm1[t, b]),
+                   np.asarray(logs.tok_lm2[t, b]))
+                  for t in range(num_frames)]
+        out = []
+        for st, co, l1, l2 in snaps:
+            ok = (st >= 0) & np.isfinite(co)
+            toks: dict = {}
+            for s, c, a, bb in zip(orig[st[ok]], co[ok], l1[ok], l2[ok]):
+                key = (int(s), int(a), int(bb))
+                c = float(c)
+                if c < toks.get(key, np.inf):
+                    toks[key] = c
+            out.append(toks)
+        return out
+
+    def get_lattices(self, init_log: BigLmFrameLog, logs: BigLmFrameLog,
+                     loglikes, fst, frame_mask=None):
+        """Raw lattices over the pair automaton: HCLG arcs with the
+        difference-LM score folded into graph costs, LM sentence-end cost
+        as final weights (ref GetRawLattice inherited by the biglm
+        decoder, online-decoder-mempool-base-biglm.h + base-inl.h:869)."""
+        from asr_decoder_tpu.decoder.raw_lattice import (
+            BigLmExpander, lattice_from_token_sets_generic)
+        lm1, lm2 = self.difflm.lm1.fsa, self.difflm.lm2.fsa
+        s1, s2 = self.difflm.lm1_scale, self.difflm.lm2_scale
+
+        def lm_advance(l1_, l2_, w):
+            n1, c1 = lm1.get_arc(l1_, w)
+            n2, c2 = lm2.get_arc(l2_, w)
+            return n1, n2, s2 * c2 - s1 * c1
+
+        exp = BigLmExpander(fst, lm_advance, self.difflm.final_host)
+        loglikes = np.asarray(loglikes)
+        B, T = loglikes.shape[:2]
+        lens = (np.asarray(frame_mask).sum(axis=1).astype(int)
+                if frame_mask is not None else np.full(B, T))
+        i2p = np.asarray(self._ilabel2pdf, np.int64)
+        return [lattice_from_token_sets_generic(
+                    exp, self.token_sets(init_log, logs, b, int(lens[b])),
+                    loglikes[b, :int(lens[b])], i2p, self.config)
+                for b in range(B)]
 
     def _decode_stage_arcs(self, stage: int, a: int) -> list[int]:
         if a < 0:

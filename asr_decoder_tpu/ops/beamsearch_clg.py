@@ -258,7 +258,7 @@ def _init_fn(g: ClgGraphArrays, batch: int, static_cfg: tuple):
     state = state.at[:, 0].set(g.start)
     cost = cost.at[:, 0].set(0.0)
     state, cost, (prev, aid) = _eps_stages(g, state, cost, cfg=cfg)
-    return (state, cost), (prev, aid)
+    return (state, cost), (prev, aid, state, cost)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -282,13 +282,19 @@ def _advance_fn(g: ClgGraphArrays, state, inputs, static_cfg: tuple):
         m3 = mask[None, :, None]
         prev = jnp.where(m3, prev, slot_id)
         aid = jnp.where(m3, aid, ARC_STAY)
-        return (ns, nc), (prev, aid)
+        ys = [prev, aid]
+        if cfg["log_snapshots"]:
+            ys += [ns, nc]
+        else:
+            ys += [jnp.zeros((ns.shape[0], 0), jnp.int32),
+                   jnp.zeros((ns.shape[0], 0), jnp.float32)]
+        return (ns, nc), tuple(ys)
 
     lls = jnp.swapaxes(loglikes, 0, 1)
     masks = jnp.swapaxes(frame_mask, 0, 1)
-    (st, co), (prevs, aids) = jax.lax.scan(
+    (st, co), (prevs, aids, toks, costs) = jax.lax.scan(
         scan_body, state, (lls, masks))
-    return (st, co), (prevs, aids)
+    return (st, co), (prevs, aids, toks, costs)
 
 
 class TpuClgBeamSearch:
@@ -302,6 +308,7 @@ class TpuClgBeamSearch:
         self.config.check()
         self.g = g
         self.graph, self._hmm_il = make_clg_graph_arrays(g, ilabel2pdf)
+        self._ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
         eps_iters = self.config.eps_iters or g.eps_depth()
         K = min(self.config.beam_width, self.config.max_active)
         self._static = tuple(sorted(dict(
@@ -313,6 +320,7 @@ class TpuClgBeamSearch:
             beam=float(self.config.beam),
             min_active=int(self.config.min_active),
             acoustic_scale=float(self.config.acoustic_scale),
+            log_snapshots=bool(self.config.log_snapshots),
             gather_impl=self.config.gather_impl or None,
         ).items()))
         self.beam_width = K
@@ -335,6 +343,49 @@ class TpuClgBeamSearch:
         state, init_log = self.init_state(B)
         state, logs = self.advance(state, loglikes, frame_mask)
         return state, init_log, logs
+
+    def token_sets(self, init_log, logs, b: int,
+                   num_frames: int | None = None) -> list[dict[int, float]]:
+        """Per-frame surviving-token sets {virtual_state: cost} for
+        utterance ``b`` (index 0 = post-init ε-closure)."""
+        if not self.config.log_snapshots:
+            raise RuntimeError(
+                "lattice reconstruction needs DecoderConfig.log_snapshots="
+                "True (token snapshots were not recorded)")
+        T = np.asarray(logs[2]).shape[0]
+        if num_frames is None:
+            num_frames = T
+        snaps = [(np.asarray(init_log[2][b]), np.asarray(init_log[3][b]))]
+        snaps += [(np.asarray(logs[2][t, b]), np.asarray(logs[3][t, b]))
+                  for t in range(num_frames)]
+        out = []
+        for st, co in snaps:
+            ok = (st >= 0) & np.isfinite(co)
+            toks: dict[int, float] = {}
+            for s, c in zip(st[ok], co[ok]):
+                s, c = int(s), float(c)
+                if c < toks.get(s, np.inf):
+                    toks[s] = c
+            out.append(toks)
+        return out
+
+    def get_lattices(self, init_log, logs, loglikes, frame_mask=None):
+        """Raw lattices over the virtual composite (ilabels = HMM arc
+        inputs, olabels = CLG words) — the CLG decoder's GetRawLattice
+        (ref: src/my-decoder/online-decoder-base-inl.h:869-977 inherited
+        by the CLG variant)."""
+        from asr_decoder_tpu.decoder.raw_lattice import (
+            ClgExpander, lattice_from_token_sets_generic)
+        loglikes = np.asarray(loglikes)
+        B, T = loglikes.shape[:2]
+        lens = (np.asarray(frame_mask).sum(axis=1).astype(int)
+                if frame_mask is not None else np.full(B, T))
+        exp = ClgExpander(self.g)
+        i2p = np.asarray(self._ilabel2pdf, np.int64)
+        return [lattice_from_token_sets_generic(
+                    exp, self.token_sets(init_log, logs, b, int(lens[b])),
+                    loglikes[b, :int(lens[b])], i2p, self.config)
+                for b in range(B)]
 
     def traceback(self, state, init_log, logs):
         """Best path per utterance: words from CLG arc olabels (ε/entry

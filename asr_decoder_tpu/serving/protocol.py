@@ -112,7 +112,15 @@ class C2SPackage:
 
     # -- payload helpers (ref: C2SPackageAnalysis::GetData) ---------------
     def samples(self) -> np.ndarray:
-        """Decode the payload to float32 samples at 16-bit PCM scale."""
+        """Decode the payload to float32 samples at 16-bit PCM scale,
+        honoring ``audio_type`` (wav containers are parsed + resampled to
+        the declared rate; a WAV payload must arrive in one package —
+        ref Stream2Pcm dispatch, src/audio-convert/stream2pcm.h:46-118)."""
+        if self.audio_type != AudioType.PCM:
+            from asr_decoder_tpu.frontend.audio import decode_audio
+            return decode_audio(self.data, int(self.audio_type),
+                                dtype_short=(self.dtype == DType.SHORT),
+                                target_rate=self.sample_rate.hz)
         if self.dtype == DType.SHORT:
             return np.frombuffer(self.data, "<i2").astype(np.float32)
         return np.frombuffer(self.data, "<f4").astype(np.float32)

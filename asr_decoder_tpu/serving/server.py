@@ -26,7 +26,6 @@ dispatch, not across Python threads).
 from __future__ import annotations
 
 import asyncio
-import pickle
 import socket as socketlib
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -56,6 +55,10 @@ class SocketConfig:
     timeout_strikes: int = flag(
         3, "Consecutive receive timeouts before disconnect "
            "(ref v1-asr-task.h:83-92)")
+    advertise_rescore: bool = flag(
+        False, "Set do_rescore on final replies that carry a lattice, "
+               "telling clients to forward it to the post-processing "
+               "service (ref S2C do_rescore)")
     keepalive: bool = flag(True, "Enable TCP keepalive on connections")
     keep_idle: int = flag(120, "TCP_KEEPIDLE seconds")
     keep_interval: int = flag(10, "TCP_KEEPINTVL seconds")
@@ -267,7 +270,11 @@ class AsrServer:
         if final and pkg.lattice:
             lat = self._batcher.get_lattice(cid, determinize=True)
             if lat is not None:
-                reply.lattice = pickle.dumps(lat.to_text())
+                # binary lattice payload — feeds the post-processing
+                # (rescore) service (ref S2C lattice + do_rescore flow,
+                # net-data-package.h:561-755)
+                reply.lattice = lat.to_bytes()
+                reply.do_rescore = self.config.advertise_rescore
         return reply
 
 

@@ -331,20 +331,26 @@ class OnlineDecoderSession:
         return " ".join(self.info.words.words(res.get("words", [])))
 
     def get_lattice(self, determinize: bool = True):
-        """Raw (or determinized) lattice of the utterance so far
-        (ref: GetLattice, kaldi-online-nnet3-my-decoder.h:336)."""
-        if self.info.config.graph_type != "hclg":
-            raise RuntimeError(
-                "lattice output needs graph_type=hclg (biglm: decode hclg "
-                "and rescore the lattice post-pass, lm/compose.py)")
+        """Raw (or determinized) lattice of the utterance so far — every
+        graph type, like the reference's shared GetRawLattice
+        (ref: GetLattice, kaldi-online-nnet3-my-decoder.h:336;
+        online-decoder-base-inl.h:869-977 serves all decoder variants)."""
         logs = self._merged_logs()
         if logs is None:
             return None
         lls = np.concatenate(self._loglikes, axis=0)[None]
         T = lls.shape[1]
-        lat = self.info.search.get_lattices(
-            self._init_log, logs, lls, self.info.fst,
-            frame_mask=np.ones((1, T), bool))[0]
+        mask = np.ones((1, T), bool)
+        gt = self.info.config.graph_type
+        if gt == "clg":
+            lat = self.info.search.get_lattices(
+                self._init_log, logs, lls, frame_mask=mask)[0]
+        else:   # hclg / biglm-hclg share the StdFst-keyed signature
+            lat = self.info.search.get_lattices(
+                self._init_log, logs, lls, self.info.fst,
+                frame_mask=mask)[0]
+        if lat is None:
+            return None
         if determinize and lat.num_states:
             try:
                 lat = determinize_lattice(lat)

@@ -148,3 +148,29 @@ def test_biglm_insearch_beats_postpass_on_tight_beam(fsas):
         if r_in["cost"] < post_total - 1e-3:
             better += 1
     assert better >= 1, "in-search never strictly beat post-pass"
+
+
+def test_biglm_device_lattice_matches_gold(fsas):
+    """BigLM pair-search lattices: device pair-token snapshots → host
+    reconstruction equals the gold decoder's lattice byte-for-byte; LM
+    scores live in graph costs, LM sentence-end cost in final weights
+    (ref: online-decoder-mempool-base-biglm.h + base-inl.h:869-977)."""
+    fsa1, fsa2 = fsas
+    rng, fst, dev, i2p, cfg = _setup_biglm(5)
+    cfg.lattice_beam = 6.0
+    difflm = DeviceDiffLm.build(fsa1, fsa2, 0.7, 1.3)
+    T, V = 12, 7
+    loglikes = (rng.standard_normal((T, V)) * 3).astype(np.float32)
+    gold = GoldBigLmDecoder(fst, i2p, fsa1, fsa2, 0.7, 1.3, cfg) \
+        .decode(loglikes, want_lattice=True)
+    search = TpuBigLmBeamSearch(dev, i2p, difflm, cfg)
+    state, init_log, logs = search.decode(loglikes[None])
+    lat = search.get_lattices(init_log, logs, loglikes[None], fst)[0]
+    assert lat is not None and gold.lattice is not None
+    assert sorted(lat.to_text().splitlines()) == \
+        sorted(gold.lattice.to_text().splitlines())
+    # best path through the lattice matches the in-search traceback
+    best = search.traceback(state, init_log, logs, fst)[0]
+    words, _, _, _ = lat.to_vector()
+    if best["reached_final"]:
+        assert words == best["words"]

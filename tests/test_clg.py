@@ -192,3 +192,65 @@ def test_clg_rejects_broken_chain():
                               num_labels=1, max_deg=2)
     with pytest.raises(ValueError):
         ClgFst(clg, [None, bad])
+
+
+def test_clg_device_lattice_matches_gold():
+    """CLG lattices: device token snapshots → host reconstruction equals
+    the gold decoder's lattice byte-for-byte (ref: the CLG decoder inherits
+    GetRawLattice, online-decoder-base-inl.h:869-977)."""
+    rng, g = make_clg(3)
+    i2p = np.arange(7, dtype=np.int32)
+    cfg = DecoderConfig(beam=1e9, beam_width=128, arc_lanes=8,
+                        max_active=128, min_active=0, lattice_beam=6.0,
+                        eps_mode="sweeps")
+    T, V = 10, 7
+    loglikes = (rng.standard_normal((T, V)) * 3).astype(np.float32)
+    gold = GoldClgDecoder(g, i2p, cfg).decode(loglikes, want_lattice=True)
+    search = TpuClgBeamSearch(g, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes[None])
+    lat = search.get_lattices(init_log, logs, loglikes[None])[0]
+    assert lat is not None and gold.lattice is not None
+    assert sorted(lat.to_text().splitlines()) == \
+        sorted(gold.lattice.to_text().splitlines())
+    # the lattice's best path carries the traceback's words
+    words, _, _, _ = lat.to_vector()
+    best = search.traceback(state, init_log, logs)[0]
+    if best["reached_final"]:
+        assert words == best["words"]
+
+
+def test_clg_session_lattice_and_nbest():
+    """The session layer serves CLG lattices + n-best (was: raises)."""
+    from asr_decoder_tpu.frontend.fbank import FbankConfig
+    from asr_decoder_tpu.fst.symbol import SymbolTable
+    from asr_decoder_tpu.models.flagship import make_flagship
+    from asr_decoder_tpu.serving.session import (OnlineDecoderConfig,
+                                                 OnlineDecoderInfo,
+                                                 OnlineDecoderSession)
+    import jax
+
+    _, g = make_clg(11, num_pdfs=15)
+    nnet = make_flagship(jax.random.PRNGKey(0), feat_dim=16, num_pdfs=16,
+                         hidden=16, proj=8, num_layers=1, context=1)
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for i in range(1, 6):
+        words.add(f"w{i}", i)
+    info = OnlineDecoderInfo(
+        nnet, None, words, np.arange(16, dtype=np.int32),
+        decoder_config=DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
+                                     min_active=0, lattice_beam=8.0,
+                                     eps_mode="sweeps"),
+        online_config=OnlineDecoderConfig(graph_type="clg",
+                                          chunk_frames=16),
+        fbank_config=FbankConfig(num_bins=16), clg_graph=g)
+    s = OnlineDecoderSession(info)
+    wave = (np.random.default_rng(2).standard_normal(12000)
+            * 4000).astype(np.float32)
+    s.process_data(wave, eos=True)
+    lat = s.get_lattice()
+    assert lat is not None and lat.num_states > 0
+    best = s.get_best_path()
+    if best["reached_final"] and best["words"]:
+        nbest = s.get_nbest(3)
+        assert nbest and nbest[0]["words"] == best["words"]
