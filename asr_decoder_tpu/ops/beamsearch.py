@@ -536,19 +536,23 @@ class TpuBeamSearch:
         return [aid] if aid >= 0 else []     # skip split-chain links
 
     def traceback(self, state: BeamState, init_log: FrameLog,
-                  logs: FrameLog, fst_arcs=None):
+                  logs, fst_arcs=None):
         """Returns per-utterance dicts with arc ids, words, ilabels, cost.
 
+        ``logs``: one merged FrameLog OR a list of per-chunk FrameLogs —
+        the list form walks chunks in reverse without concatenating them,
+        so streaming partials stay O(T) per call (the reference's
+        TraceBackBestPath is the same single backward walk,
+        ref: online-decoder-base-inl.h:1097-1161).
         ``fst_arcs``: the source StdFst (for olabel/ilabel lookup); if None,
         only arc ids and cost are returned.
         """
         tok_state = np.asarray(state.tok_state)
         tok_cost = np.asarray(state.tok_cost)
-        prevs = np.asarray(logs.prev_slot)   # [T,S,B,K]
-        aids = np.asarray(logs.arc_id)
+        chunks = logs if isinstance(logs, list) else [logs]
+        chunks = [(np.asarray(c[0]), np.asarray(c[1])) for c in chunks]
         iprev = np.asarray(init_log.prev_slot)  # [S_eps,B,K]
         iaid = np.asarray(init_log.arc_id)
-        T = prevs.shape[0]
         final_id = int(self.dev.final_state)
         results = []
         for b in range(tok_state.shape[0]):
@@ -562,11 +566,12 @@ class TpuBeamSearch:
                 reached_final = False
             total = float(tok_cost[b, slot])
             arcs_rev: list[int] = []
-            for t in range(T - 1, -1, -1):
-                for s in range(prevs.shape[1] - 1, -1, -1):
-                    arcs_rev.extend(self._decode_stage_arcs(
-                        s, int(aids[t, s, b, slot])))
-                    slot = int(prevs[t, s, b, slot])
+            for prevs, aids in reversed(chunks):
+                for t in range(prevs.shape[0] - 1, -1, -1):
+                    for s in range(prevs.shape[1] - 1, -1, -1):
+                        arcs_rev.extend(self._decode_stage_arcs(
+                            s, int(aids[t, s, b, slot])))
+                        slot = int(prevs[t, s, b, slot])
             for s in range(iprev.shape[0] - 1, -1, -1):
                 arcs_rev.extend(self._decode_stage_arcs(
                     s + 1, int(iaid[s, b, slot])))

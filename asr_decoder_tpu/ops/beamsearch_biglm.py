@@ -448,19 +448,20 @@ class TpuBigLmBeamSearch:
         return [aid] if aid >= 0 else []
 
     def traceback(self, state: BigLmBeamState, init_log: BigLmFrameLog,
-                  logs: BigLmFrameLog, fst_arcs=None):
+                  logs, fst_arcs=None):
         """Best path per utterance; final-token choice includes the diff
         LM's sentence-end cost (ref ComputeFinalCosts,
-        online-decoder-mempool-base-biglm.h:161-216)."""
+        online-decoder-mempool-base-biglm.h:161-216).  ``logs``: merged
+        BigLmFrameLog or a list of per-chunk logs."""
         tok_state = np.asarray(state.tok_state)
         tok_cost = np.asarray(state.tok_cost)
         tok_l1 = np.asarray(state.tok_lm1)
         tok_l2 = np.asarray(state.tok_lm2)
-        prevs = np.asarray(logs.prev_slot)
-        aids = np.asarray(logs.arc_id)
+        chunks = logs if isinstance(logs, list) else [logs]
+        chunks = [(np.asarray(c[0]), np.asarray(c[1]), np.asarray(c[2]))
+                  for c in chunks]
         iprev = np.asarray(init_log.prev_slot)
         iaid = np.asarray(init_log.arc_id)
-        T = prevs.shape[0]
         final_id = int(self.dev.final_state)
         results = []
         for b in range(tok_state.shape[0]):
@@ -478,11 +479,12 @@ class TpuBigLmBeamSearch:
                 total = float(tok_cost[b, slot])
                 reached_final = False
             arcs_rev: list[int] = []
-            for t in range(T - 1, -1, -1):
-                for s in range(prevs.shape[1] - 1, -1, -1):
-                    arcs_rev.extend(self._decode_stage_arcs(
-                        s, int(aids[t, s, b, slot])))
-                    slot = int(prevs[t, s, b, slot])
+            for prevs, aids, _ in reversed(chunks):
+                for t in range(prevs.shape[0] - 1, -1, -1):
+                    for s in range(prevs.shape[1] - 1, -1, -1):
+                        arcs_rev.extend(self._decode_stage_arcs(
+                            s, int(aids[t, s, b, slot])))
+                        slot = int(prevs[t, s, b, slot])
             for s in range(iprev.shape[0] - 1, -1, -1):
                 arcs_rev.extend(self._decode_stage_arcs(
                     s + 1, int(iaid[s, b, slot])))
@@ -490,7 +492,8 @@ class TpuBigLmBeamSearch:
             arc_ids = arcs_rev[::-1]
             res = dict(arc_ids=arc_ids, cost=total,
                        reached_final=reached_final,
-                       overflowed=bool(np.asarray(logs.overflow)[:, b].any()))
+                       overflowed=any(bool(ov[:, b].any())
+                                      for _, _, ov in chunks))
             if fst_arcs is not None:
                 ol = fst_arcs.arc_olabel[arc_ids]
                 il = fst_arcs.arc_ilabel[arc_ids]

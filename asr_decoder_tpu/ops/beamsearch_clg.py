@@ -389,11 +389,12 @@ class TpuClgBeamSearch:
 
     def traceback(self, state, init_log, logs):
         """Best path per utterance: words from CLG arc olabels (ε/entry
-        hops), ilabels from the emitting HMM arcs."""
+        hops), ilabels from the emitting HMM arcs.  ``logs``: merged log
+        tuple or a list of per-chunk logs (walked without concatenation)."""
         tok_state, tok_cost = (np.asarray(state[0]), np.asarray(state[1]))
-        prevs, aids = (np.asarray(logs[0]), np.asarray(logs[1]))
+        chunks = logs if isinstance(logs, list) else [logs]
+        chunks = [(np.asarray(c[0]), np.asarray(c[1])) for c in chunks]
         iprev, iaid = (np.asarray(init_log[0]), np.asarray(init_log[1]))
-        T = prevs.shape[0]
         clg = self.g.clg
         final_id = int(clg.final_state)
         Ah = int(self.graph.hmm_em_rec.shape[2])
@@ -423,10 +424,11 @@ class TpuClgBeamSearch:
                     if ol:
                         words_rev.append(ol)
 
-            for t in range(T - 1, -1, -1):
-                for s in range(prevs.shape[1] - 1, -1, -1):
-                    eat(s, int(aids[t, s, b, slot]))
-                    slot = int(prevs[t, s, b, slot])
+            for prevs, aids in reversed(chunks):
+                for t in range(prevs.shape[0] - 1, -1, -1):
+                    for s in range(prevs.shape[1] - 1, -1, -1):
+                        eat(s, int(aids[t, s, b, slot]))
+                        slot = int(prevs[t, s, b, slot])
             for s in range(iprev.shape[0] - 1, -1, -1):
                 eat(s + 1, int(iaid[s, b, slot]))
                 slot = int(iprev[s, b, slot])

@@ -26,7 +26,6 @@ import numpy as np
 
 from asr_decoder_tpu.ops.beamsearch import BeamState, FrameLog
 from asr_decoder_tpu.serving.session import FeatureBuffer, OnlineDecoderInfo
-from asr_decoder_tpu.frontend.fbank import StreamingFbank, live_cmvn
 from asr_decoder_tpu.models.layers import init_layer_state
 from asr_decoder_tpu.models.nnet import am_forward
 
@@ -35,9 +34,8 @@ from asr_decoder_tpu.models.nnet import am_forward
 class _Channel:
     """Host-side per-channel streaming state (the corr-id keyed stream,
     ref: v1-gpu-kaldi-worker-pool.h:74-190)."""
-    fbank: StreamingFbank
+    front: object                  # StreamingFrontend
     featbuf: FeatureBuffer
-    cmvn_state: object = None
     skip_phase: int = 0
     pending: list[np.ndarray] = field(default_factory=list)
     pending_frames: int = 0
@@ -116,7 +114,7 @@ class BatchedStreamingDecoder:
         info = self.info
         from asr_decoder_tpu.vad.energy import EnergyVadStream
         self._channels[cid] = _Channel(
-            fbank=StreamingFbank(info.fbank_config, batch=1),
+            front=info.make_frontend(batch=1),
             featbuf=FeatureBuffer(info.left, info.right, info.splice_offsets),
             vad=(EnergyVadStream(info.vad_config, batch=1)
                  if info.config.use_energy_vad else None))
@@ -178,11 +176,7 @@ class BatchedStreamingDecoder:
                 sil_run += 1
             ch.trailing_sil = (ch.trailing_sil + sil_run
                                if sil_run == len(decisions) else sil_run)
-        feats = np.asarray(ch.fbank.accept(pcm, end=eos))[0]
-        if info.cmvn_config is not None and feats.shape[0]:
-            normed, ch.cmvn_state = live_cmvn(
-                info.cmvn_config, jnp.asarray(feats)[None], ch.cmvn_state)
-            feats = np.asarray(normed)[0]
+        feats = ch.front.accept(pcm, end=eos)[0]
         spliced = ch.featbuf.accept(feats, end=eos)
         # skip_copy subsamples + score-copies inside am_forward (chunks are
         # phase-aligned: chunk_frames % (skip+1) == 0, asserted at info
@@ -296,12 +290,12 @@ class BatchedStreamingDecoder:
         return FrameLog(*self._init_log_row)
 
     def get_best_path(self, cid: int) -> dict:
-        logs = self._merged_logs(cid)
-        if logs is None:
+        ch = self._channels[cid]
+        if not ch.chunk_logs:
             return dict(arc_ids=[], cost=0.0, words=[], ilabels=[],
                         reached_final=False)
         return self.info.search.traceback(
-            self._channel_beam(cid), self._init_log(), logs,
+            self._channel_beam(cid), self._init_log(), ch.chunk_logs,
             self.info.fst)[0]
 
     def get_best_path_txt(self, cid: int) -> str:

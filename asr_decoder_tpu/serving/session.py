@@ -19,12 +19,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from asr_decoder_tpu.decoder.config import DecoderConfig
-from asr_decoder_tpu.frontend.fbank import (CmvnConfig, FbankConfig,
-                                            StreamingFbank, live_cmvn)
+from asr_decoder_tpu.frontend.fbank import CmvnConfig, FbankConfig
 from asr_decoder_tpu.fst.determinize import (DeterminizeError,
                                              determinize_lattice)
 from asr_decoder_tpu.fst.fst import StdFst
@@ -121,7 +121,9 @@ class OnlineDecoderInfo:
                  am_config: AmConfig | None = None,
                  cmvn_config: CmvnConfig | None = None,
                  vad_config: EnergyVadConfig | None = None,
-                 clg_graph=None, difflm=None):
+                 clg_graph=None, difflm=None,
+                 pitch_config=None, process_pitch_config=None,
+                 delta_config=None):
         """``graph_type`` (OnlineDecoderConfig) picks the decoder variant
         (ref decoder selection hclg|clg|biglm-hclg,
         kaldi-online-nnet3-my-decoder.h:250-284):
@@ -144,6 +146,15 @@ class OnlineDecoderInfo:
         self.am_config = am_config or AmConfig()
         self.cmvn_config = cmvn_config  # None = no live CMVN
         self.vad_config = vad_config or EnergyVadConfig()
+        # optional frontend extensions (the DnnPitchFeat / delta stack,
+        # ref: src/nnet/nnet-feature-api.h:86-185, pitch/online-feature.h)
+        self.pitch_config = pitch_config
+        self.process_pitch_config = process_pitch_config
+        self.delta_config = delta_config
+        if pitch_config is not None:
+            from asr_decoder_tpu.frontend.pitch import ProcessPitchConfig
+            if self.process_pitch_config is None:
+                self.process_pitch_config = ProcessPitchConfig()
         if self.am_config.skip_copy and self.am_config.skip:
             assert self.config.chunk_frames % (self.am_config.skip + 1) == 0, \
                 "skip_copy needs chunk_frames divisible by skip+1 (chunks " \
@@ -182,6 +193,15 @@ class OnlineDecoderInfo:
             self.am_layers = layers
         self.left, self.right = nnet.context()
 
+    def make_frontend(self, batch: int = 1):
+        """Composed streaming frontend for one session/channel:
+        fbank (+CMVN) (‖ pitch) (+ deltas)."""
+        from asr_decoder_tpu.frontend.pipeline import StreamingFrontend
+        return StreamingFrontend(
+            self.fbank_config, batch=batch, pitch_cfg=self.pitch_config,
+            ppitch_cfg=self.process_pitch_config,
+            delta_cfg=self.delta_config, cmvn_cfg=self.cmvn_config)
+
 
 @dataclass
 class _PendingChunk:
@@ -196,7 +216,7 @@ class OnlineDecoderSession:
 
     def __init__(self, info: OnlineDecoderInfo):
         self.info = info
-        self._fbank = StreamingFbank(info.fbank_config, batch=1)
+        self._front = info.make_frontend(batch=1)
         self._vad = (EnergyVadStream(info.vad_config, batch=1)
                      if info.config.use_energy_vad else None)
         self.reset()
@@ -206,13 +226,12 @@ class OnlineDecoderSession:
         """Full per-utterance reset (ref: Reset + ResetRnnBuffer,
         kaldi-online-nnet3-my-decoder.h:296-299, nnet-nnet.h:178-188)."""
         info = self.info
-        self._fbank.reset()
+        self._front.reset()
         if self._vad is not None:
             self._vad.reset()
         self._featbuf = FeatureBuffer(info.left, info.right,
                                       info.splice_offsets)
         self._am_state = [init_layer_state(l, 1) for l in info.am_layers]
-        self._cmvn_state = None
         self._skip_phase = 0
         self._trailing_sil = 0
         self.init_decoding()
@@ -242,12 +261,7 @@ class OnlineDecoderSession:
                 sil_run += 1
             self._trailing_sil = (self._trailing_sil + sil_run
                                   if sil_run == len(decisions) else sil_run)
-        feats = np.asarray(self._fbank.accept(pcm, end=eos))[0]
-        if self.info.cmvn_config is not None and feats.shape[0]:
-            normed, self._cmvn_state = live_cmvn(
-                self.info.cmvn_config, jnp.asarray(feats)[None],
-                self._cmvn_state)
-            feats = np.asarray(normed)[0]
+        feats = self._front.accept(pcm, end=eos)[0]
         spliced = self._featbuf.accept(feats, end=eos)
         # frame subsampling with a persistent phase so chunk boundaries
         # don't change which frames are scored (ref: NnetForwardOptions
@@ -296,7 +310,10 @@ class OnlineDecoderSession:
         mask = np.arange(C)[None, :] < valid
         self._beam, log = info.search.advance(self._beam, loglikes,
                                               jnp.asarray(mask))
-        self._chunk_logs.append(log)
+        # host-copy the chunk log once here: partial-result tracebacks then
+        # walk pure host memory (no per-call device transfers), and HBM
+        # doesn't accumulate per-frame logs over long streams
+        self._chunk_logs.append(jax.tree.map(np.asarray, log))
         self._loglikes.append(np.asarray(loglikes)[0, :valid])
         self.num_frames_decoded += valid
 
@@ -315,16 +332,18 @@ class OnlineDecoderSession:
 
     def get_best_path(self) -> dict:
         """Best path so far (partial before EOS) — words, ilabels, cost
-        (ref: GetBestPath/GetBestPathTxt)."""
-        logs = self._merged_logs()
-        if logs is None:
+        (ref: GetBestPath/GetBestPathTxt).  Walks the per-chunk logs
+        directly (O(T) per call, no concatenation — the reference's
+        TraceBackBestPath cost shape)."""
+        if not self._chunk_logs:
             return dict(arc_ids=[], cost=0.0, words=[], ilabels=[],
                         reached_final=False)
         if self.info.config.graph_type == "clg":
             return self.info.search.traceback(
-                self._beam, self._init_log, logs)[0]
+                self._beam, self._init_log, self._chunk_logs)[0]
         return self.info.search.traceback(
-            self._beam, self._init_log, logs, self.info.fst)[0]
+            self._beam, self._init_log, self._chunk_logs,
+            self.info.fst)[0]
 
     def get_best_path_txt(self) -> str:
         res = self.get_best_path()
