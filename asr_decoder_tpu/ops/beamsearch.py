@@ -63,18 +63,22 @@ class GraphArrays(NamedTuple):
     Random arc access is the search's hot memory op; XLA's general gather is
     near-scalar speed on TPU, but a *row* gather (whole padded record row per
     beam state) runs ~10× faster.  So each state's out-arcs live in one
-    fixed-width row, field-major:
+    fixed-width **flat 2-D** row, field-major (field f at lanes
+    [f·L, (f+1)·L)): a [S, F·L] table gathers ~3× faster again than the
+    equivalent [S, F, L] layout — the TPU row gather is row-count-bound and
+    the 3-D minor dims push XLA off the vectorized path (measured 2.7 ms vs
+    0.97 ms for 65k rows on v5e).
 
-      * ``em_rec  i32[S, 4, A]`` — emitting arcs: (dst | pdf | weight-bits |
+      * ``em_rec  i32[S, 4·A]`` — emitting arcs: (dst | pdf | weight-bits |
         em-block arc index); padding lanes have dst = -1.
-      * ``eps_rec i32[S, 3, A]`` — ε arcs (sweeps mode): (dst | weight-bits |
+      * ``eps_rec i32[S, 3·Ae]`` — ε arcs (sweeps mode): (dst | weight-bits |
         ε-block arc index).
-      * ``clo_rec i32[S, 3, C]`` — ε-closure entries (closure mode):
+      * ``clo_rec i32[S, 3·C]`` — ε-closure entries (closure mode):
         (dst | weight-bits | closure-entry index).
     """
-    em_rec: jax.Array      # i32[S, 4, A]
-    eps_rec: jax.Array     # i32[S, 3, Aeps]  (zero-width in closure mode)
-    clo_rec: jax.Array     # i32[S, 3, C]     (zero-width in sweeps mode)
+    em_rec: jax.Array      # i32[S, 4*A]
+    eps_rec: jax.Array     # i32[S, 3*Aeps]  (zero-width in closure mode)
+    clo_rec: jax.Array     # i32[S, 3*C]     (zero-width in sweeps mode)
     start: jax.Array       # i32 scalar
     final_state: jax.Array # i32 scalar
 
@@ -106,11 +110,12 @@ class FrameLog(NamedTuple):
 
 def _pack_records(offset: np.ndarray, count: np.ndarray, lanes: int,
                   *fields: np.ndarray) -> np.ndarray:
-    """CSR → padded field-major record table i32[S, 1+len(fields), lanes].
+    """CSR → padded field-major flat record table i32[S, len(fields)·lanes].
 
-    Row layout per state: (dst | field₁ | field₂ | ...) with padding lanes
-    dst = -1; float fields are bit-cast to i32.  The first *field* must be
-    the dst array."""
+    Row layout per state: (dst lanes | field₁ lanes | field₂ lanes | ...)
+    with padding lanes dst = -1; float fields are bit-cast to i32.  The
+    first *field* must be the dst array.  Flat 2-D rows keep the beam-state
+    row gather on XLA's vectorized path (see GraphArrays)."""
     S = len(offset)
     nf = len(fields)
     rec = np.zeros((S, nf, lanes), np.int32)
@@ -124,7 +129,7 @@ def _pack_records(offset: np.ndarray, count: np.ndarray, lanes: int,
         vals = arr.astype(np.int32)[idx]
         fill = -1 if f == 0 else 0
         rec[:, f, :] = np.where(mask, vals, fill)
-    return rec
+    return rec.reshape(S, nf * lanes)
 
 
 def make_graph_arrays(dev: DeviceFst, ilabel2pdf: np.ndarray,
@@ -145,16 +150,16 @@ def make_graph_arrays(dev: DeviceFst, ilabel2pdf: np.ndarray,
         clo_idx = np.arange(len(dev.clo_dst), dtype=np.int32)
         clo_rec = _pack_records(dev.clo_offset, dev.clo_count, max(C, 1),
                                 dev.clo_dst, dev.clo_weight, clo_idx) \
-            if C else np.zeros((dev.num_states, 3, 0), np.int32)
-        eps_rec = np.zeros((dev.num_states, 3, 0), np.int32)
+            if C else np.zeros((dev.num_states, 0), np.int32)
+        eps_rec = np.zeros((dev.num_states, 0), np.int32)
     else:
         Ae = max(dev.max_eps_degree, 1)
         eps_idx = np.arange(len(dev.eps_dst), dtype=np.int32)
         eps_rec = _pack_records(dev.eps_offset, dev.eps_count, Ae,
                                 dev.eps_dst, dev.eps_weight, eps_idx) \
-            if len(dev.eps_dst) else np.zeros((dev.num_states, 3, 0),
+            if len(dev.eps_dst) else np.zeros((dev.num_states, 0),
                                               np.int32)
-        clo_rec = np.zeros((dev.num_states, 3, 0), np.int32)
+        clo_rec = np.zeros((dev.num_states, 0), np.int32)
     return GraphArrays(
         em_rec=jnp.asarray(em_rec),
         eps_rec=jnp.asarray(eps_rec),
@@ -196,9 +201,13 @@ def _relax_and_prune(dst, cost, *, K, beam, min_active, gather_impl=None,
     dead = ~jnp.isfinite(cost)
     sort_dst = jnp.where(dead, BIG_STATE, dst)
     idx = jnp.broadcast_to(_lane_iota(N), (B, N))
-    nk = 2 + len(extra_keys)
+    # idx joins the key (distinct per lane ⇒ total order) so the cheaper
+    # unstable sort is still deterministic and equals the stable
+    # (dst, cost)-sort: ties on (dst, cost) break by lowest candidate index
+    # (the reference's first-writer-wins, ref FindOrAddToken inl.h:89-137)
+    nk = 3 + len(extra_keys)
     sorted_ops = jax.lax.sort(
-        (sort_dst, *extra_keys, cost, idx), num_keys=nk, is_stable=True)
+        (sort_dst, *extra_keys, cost, idx), num_keys=nk, is_stable=False)
     sort_dst, cost_s, idx_s = sorted_ops[0], sorted_ops[-2], sorted_ops[-1]
     extras_s = sorted_ops[1:-2]
     same = sort_dst[:, 1:] == sort_dst[:, :-1]
@@ -238,11 +247,11 @@ def _emit_stage(g: GraphArrays, state, cost, ll, *, cfg):
     N = K * A
     valid = state != NO_STATE
     s_safe = jnp.where(valid, state, 0)
-    rows = g.em_rec[s_safe]                                # [B,K,4,A]
-    dstN = rows[:, :, 0, :].reshape(B, N)
-    pdf = rows[:, :, 1, :].reshape(B, N)
-    w = _bits_to_f32(rows[:, :, 2, :]).reshape(B, N)
-    aidN = rows[:, :, 3, :].reshape(B, N)
+    rows = g.em_rec[s_safe]                                # [B,K,4*A]
+    dstN = rows[:, :, 0 * A:1 * A].reshape(B, N)
+    pdf = rows[:, :, 1 * A:2 * A].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 2 * A:3 * A]).reshape(B, N)
+    aidN = rows[:, :, 3 * A:4 * A].reshape(B, N)
     validN = jnp.repeat(valid, A, axis=1)
     costN = jnp.repeat(cost, A, axis=1)
     amask = validN & (dstN >= 0)
@@ -263,12 +272,12 @@ def _emit_stage(g: GraphArrays, state, cost, ll, *, cfg):
 
 def _table_stage(rec, state, cost, *, K, beam, min_active,
                  gather_impl=None):
-    """One ε relaxation stage over a packed record table i32[S, 3, L]
+    """One ε relaxation stage over a packed flat record table i32[S, 3·L]
     (closure entries or ε arcs): candidates = L table lanes per token plus a
     trailing per-token stay block.  Returns (state, cost, prev, aid) with
     aid = table entry index or ARC_STAY."""
     B = state.shape[0]
-    L = rec.shape[2]
+    L = rec.shape[1] // 3
     if L == 0:
         # zero-lane table (e.g. eps_iters forced >0 on an ε-free graph):
         # nothing to relax — every token stays put
@@ -278,10 +287,10 @@ def _table_stage(rec, state, cost, *, K, beam, min_active,
     N = K * L
     valid = state != NO_STATE
     s_safe = jnp.where(valid, state, 0)
-    rows = rec[s_safe]                                     # [B,K,3,L]
-    d = rows[:, :, 0, :].reshape(B, N)
-    w = _bits_to_f32(rows[:, :, 1, :]).reshape(B, N)
-    eidxN = rows[:, :, 2, :].reshape(B, N)
+    rows = rec[s_safe]                                     # [B,K,3*L]
+    d = rows[:, :, 0 * L:1 * L].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 1 * L:2 * L]).reshape(B, N)
+    eidxN = rows[:, :, 2 * L:3 * L].reshape(B, N)
     validN = jnp.repeat(valid, L, axis=1)
     costN = jnp.repeat(cost, L, axis=1)
     emask = validN & (d >= 0)
@@ -437,7 +446,7 @@ class TpuBeamSearch:
         K = min(cfg.beam_width, cfg.max_active)
         self._static = tuple(sorted(dict(
             K=K,
-            A=int(self.graph.em_rec.shape[2]),
+            A=int(self.graph.em_rec.shape[1]) // 4,
             E=eps_iters,
             C=dev.max_closure_size if mode == "closure" else 0,
             mode=mode,

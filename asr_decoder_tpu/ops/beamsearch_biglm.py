@@ -51,8 +51,9 @@ from asr_decoder_tpu.ops.gather import batched_table_gather
 
 
 class BigLmGraphArrays(NamedTuple):
-    em_rec: jax.Array       # i32[S, 5, A]: dst | pdf | w-bits | arcid | olabel
-    eps_rec: jax.Array      # i32[S, 4, Ae]: dst | w-bits | eps-idx | olabel
+    em_rec: jax.Array       # i32[S, 5·A] flat field-major rows:
+                            #   dst | pdf | w-bits | arcid | olabel
+    eps_rec: jax.Array      # i32[S, 4·Ae]: dst | w-bits | eps-idx | olabel
     start: jax.Array
     final_state: jax.Array
 
@@ -92,7 +93,7 @@ def make_biglm_graph_arrays(dev: DeviceFst,
     eps_rec = _pack_records(dev.eps_offset, dev.eps_count, Ae,
                             dev.eps_dst, dev.eps_weight, eps_idx,
                             dev.eps_olabel) \
-        if len(dev.eps_dst) else np.zeros((dev.num_states, 4, 0), np.int32)
+        if len(dev.eps_dst) else np.zeros((dev.num_states, 0), np.int32)
     return BigLmGraphArrays(
         em_rec=jnp.asarray(em_rec), eps_rec=jnp.asarray(eps_rec),
         start=jnp.int32(dev.start), final_state=jnp.int32(dev.final_state))
@@ -169,12 +170,12 @@ def _emit_stage(g: BigLmGraphArrays, lm_tabs, state, cost, l1, l2, ll, *,
     N = K * A
     valid = state != NO_STATE
     s_safe = jnp.where(valid, state, 0)
-    rows = g.em_rec[s_safe]                                # [B,K,5,A]
-    dstN = rows[:, :, 0, :].reshape(B, N)
-    pdf = rows[:, :, 1, :].reshape(B, N)
-    w = _bits_to_f32(rows[:, :, 2, :]).reshape(B, N)
-    aidN = rows[:, :, 3, :].reshape(B, N)
-    olN = rows[:, :, 4, :].reshape(B, N)
+    rows = g.em_rec[s_safe]                                # [B,K,5*A]
+    dstN = rows[:, :, 0 * A:1 * A].reshape(B, N)
+    pdf = rows[:, :, 1 * A:2 * A].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 2 * A:3 * A]).reshape(B, N)
+    aidN = rows[:, :, 3 * A:4 * A].reshape(B, N)
+    olN = rows[:, :, 4 * A:5 * A].reshape(B, N)
     validN = jnp.repeat(valid, A, axis=1)
     costN = jnp.repeat(cost, A, axis=1)
     l1N = jnp.repeat(l1, A, axis=1)
@@ -198,15 +199,15 @@ def _eps_stage(g: BigLmGraphArrays, lm_tabs, state, cost, l1, l2, *, cfg):
     (ref ProcessNonemitting :405-469) + a stay block."""
     K = cfg["K"]
     B = state.shape[0]
-    L = g.eps_rec.shape[2]
+    L = g.eps_rec.shape[1] // 4
     N = K * L
     valid = state != NO_STATE
     s_safe = jnp.where(valid, state, 0)
-    rows = g.eps_rec[s_safe]                               # [B,K,4,L]
-    d = rows[:, :, 0, :].reshape(B, N)
-    w = _bits_to_f32(rows[:, :, 1, :]).reshape(B, N)
-    eidxN = rows[:, :, 2, :].reshape(B, N)
-    olN = rows[:, :, 3, :].reshape(B, N)
+    rows = g.eps_rec[s_safe]                               # [B,K,4*L]
+    d = rows[:, :, 0 * L:1 * L].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 1 * L:2 * L]).reshape(B, N)
+    eidxN = rows[:, :, 2 * L:3 * L].reshape(B, N)
+    olN = rows[:, :, 3 * L:4 * L].reshape(B, N)
     validN = jnp.repeat(valid, L, axis=1)
     costN = jnp.repeat(cost, L, axis=1)
     l1N = jnp.repeat(l1, L, axis=1)
@@ -340,7 +341,7 @@ class TpuBigLmBeamSearch:
         K = min(cfg.beam_width, cfg.max_active)
         self._static = tuple(sorted(dict(
             K=K,
-            A=int(self.graph.em_rec.shape[2]),
+            A=int(self.graph.em_rec.shape[1]) // 5,
             E=eps_iters,
             beam=float(cfg.beam),
             min_active=int(cfg.min_active),

@@ -44,9 +44,10 @@ ARC_EXIT = -3   # log sentinel: HMM exit hop (no arc table entry)
 
 
 class ClgGraphArrays(NamedTuple):
-    clg_eps_rec: jax.Array   # i32[S_clg, 3, Ae]: dst_virtual | w-bits | eidx
+    clg_eps_rec: jax.Array   # i32[S_clg, 3·Ae] flat field-major rows:
+                             #   dst_virtual | w-bits | eidx
     arc_tab: jax.Array       # i32[num_arcs+1, 2]: hmm_row_base | clg_dst
-    hmm_em_rec: jax.Array    # i32[R, 3, Ah]: delta | pdf | w-bits
+    hmm_em_rec: jax.Array    # i32[R, 3·Ah]: delta | pdf | w-bits
     hmm_exit: jax.Array      # i32[R, 2]: has_exit | w-bits
     start: jax.Array
     final_state: jax.Array
@@ -133,8 +134,10 @@ def make_clg_graph_arrays(g: ClgFst, ilabel2pdf: np.ndarray):
         arc_tab[:-1, 1] = clg.arc_dst
 
     arrays = ClgGraphArrays(
-        clg_eps_rec=jnp.asarray(eps_rec), arc_tab=jnp.asarray(arc_tab),
-        hmm_em_rec=jnp.asarray(hmm_em), hmm_exit=jnp.asarray(hmm_exit),
+        clg_eps_rec=jnp.asarray(eps_rec.reshape(S, 3 * Ae)),
+        arc_tab=jnp.asarray(arc_tab),
+        hmm_em_rec=jnp.asarray(hmm_em.reshape(R, 3 * Ah)),
+        hmm_exit=jnp.asarray(hmm_exit),
         start=jnp.int32(clg.start), final_state=jnp.int32(clg.final_state))
     return arrays, hmm_il
 
@@ -160,10 +163,10 @@ def _emit_stage(g: ClgGraphArrays, state, cost, ll, *, cfg):
     valid, in_hmm, arcid, hs = _split_tokens(state, offset=offset)
     atab = g.arc_tab[arcid]                                 # [B,K,2]
     row = jnp.where(in_hmm, atab[:, :, 0] + hs, 0)
-    rows = g.hmm_em_rec[row]                                # [B,K,3,Ah]
-    delta = rows[:, :, 0, :].reshape(B, N)
-    pdf = rows[:, :, 1, :].reshape(B, N)
-    w = _bits_to_f32(rows[:, :, 2, :]).reshape(B, N)
+    rows = g.hmm_em_rec[row]                                # [B,K,3*Ah]
+    delta = rows[:, :, 0 * Ah:1 * Ah].reshape(B, N)
+    pdf = rows[:, :, 1 * Ah:2 * Ah].reshape(B, N)
+    w = _bits_to_f32(rows[:, :, 2 * Ah:3 * Ah]).reshape(B, N)
     in_hmmN = jnp.repeat(in_hmm, Ah, axis=1)
     costN = jnp.repeat(cost, Ah, axis=1)
     vN = jnp.repeat(state, Ah, axis=1)
@@ -195,10 +198,10 @@ def _eps_stage(g: ClgGraphArrays, state, cost, *, cfg):
     valid, in_hmm, arcid, hs = _split_tokens(state, offset=offset)
     in_clg = valid & ~in_hmm
     s_safe = jnp.where(in_clg, state, 0)
-    rows = g.clg_eps_rec[s_safe]                            # [B,K,3,Ae]
-    dstE = rows[:, :, 0, :].reshape(B, N)
-    wE = _bits_to_f32(rows[:, :, 1, :]).reshape(B, N)
-    eidx = rows[:, :, 2, :].reshape(B, N)
+    rows = g.clg_eps_rec[s_safe]                            # [B,K,3*Ae]
+    dstE = rows[:, :, 0 * Ae:1 * Ae].reshape(B, N)
+    wE = _bits_to_f32(rows[:, :, 1 * Ae:2 * Ae]).reshape(B, N)
+    eidx = rows[:, :, 2 * Ae:3 * Ae].reshape(B, N)
     in_clgN = jnp.repeat(in_clg, Ae, axis=1)
     costN = jnp.repeat(cost, Ae, axis=1)
     emask = in_clgN & (dstE >= 0)
@@ -313,8 +316,8 @@ class TpuClgBeamSearch:
         K = min(self.config.beam_width, self.config.max_active)
         self._static = tuple(sorted(dict(
             K=K,
-            Ah=int(self.graph.hmm_em_rec.shape[2]),
-            Ae=int(self.graph.clg_eps_rec.shape[2]),
+            Ah=int(self.graph.hmm_em_rec.shape[1]) // 3,
+            Ae=int(self.graph.clg_eps_rec.shape[1]) // 3,
             E=eps_iters,
             offset=g.offset,
             beam=float(self.config.beam),
@@ -397,7 +400,7 @@ class TpuClgBeamSearch:
         iprev, iaid = (np.asarray(init_log[0]), np.asarray(init_log[1]))
         clg = self.g.clg
         final_id = int(clg.final_state)
-        Ah = int(self.graph.hmm_em_rec.shape[2])
+        Ah = int(self.graph.hmm_em_rec.shape[1]) // 3
         results = []
         for b in range(tok_state.shape[0]):
             finals = np.where(tok_state[b] == final_id)[0]
