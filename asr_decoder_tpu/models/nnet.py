@@ -48,6 +48,12 @@ class AmConfig:
     skip_block: float = flag(1.0, "Saturate blank posteriors above this")
     acoustic_scale: float = flag(1.0, "Scaling factor for acoustic likelihoods")
     block_pdf_pdfid: int = flag(-1, "CTC blank output row; -1 = no blank")
+    skip_blank_frames: bool = flag(
+        False, "CTC blank-skip: frames whose blank logprob exceeds the "
+               "skip threshold are masked out of the search (tokens carry "
+               "unchanged) — the best-path fast path of the reference's "
+               "SkipBlockFrame (ref nnet-nnet.h:265-275); lattice output "
+               "is unavailable in this mode")
 
     def register(self, opts: ConfigOptions, prefix: str = "") -> None:
         opts.register_dataclass(self, prefix)

@@ -251,9 +251,12 @@ class BatchedStreamingDecoder:
         self._am_state = [
             _tree_where(active, n, o) if o else o
             for n, o in zip(new_am, self._am_state)]
-        mask = np.arange(C)[None, :] < valid[:, None]
-        self._beam, log = info.search.advance(
-            self._beam, loglikes, jnp.asarray(mask))
+        mask = jnp.asarray(np.arange(C)[None, :] < valid[:, None])
+        if ac.skip_blank_frames and ac.block_pdf_pdfid >= 0:
+            # CTC blank-skip (ref SkipBlockFrame, nnet-nnet.h:265-275)
+            from asr_decoder_tpu.models.nnet import blank_frame_mask
+            mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid)
+        self._beam, log = info.search.advance(self._beam, loglikes, mask)
         # split the batched log into per-channel chunks (host side)
         log_np = FrameLog(*(np.asarray(a) for a in log))
         ll_np = np.asarray(loglikes)
@@ -305,6 +308,11 @@ class BatchedStreamingDecoder:
     def get_lattice(self, cid: int, determinize: bool = True):
         from asr_decoder_tpu.fst.determinize import (DeterminizeError,
                                                      determinize_lattice)
+        ac = self.info.am_config
+        if ac.skip_blank_frames and ac.block_pdf_pdfid >= 0:
+            raise RuntimeError(
+                "lattice output is unsupported with skip_blank_frames "
+                "(CTC blank-skip is a best-path fast path)")
         logs = self._merged_logs(cid)
         ch = self._channels[cid]
         if logs is None:

@@ -307,9 +307,13 @@ class OnlineDecoderSession:
             block_scale=ac.block_scale, skip_block=ac.skip_block,
             skip=ac.skip if ac.skip_copy else 0, skip_copy=ac.skip_copy)
         C = feats.shape[1]
-        mask = np.arange(C)[None, :] < valid
-        self._beam, log = info.search.advance(self._beam, loglikes,
-                                              jnp.asarray(mask))
+        mask = jnp.asarray(np.arange(C)[None, :] < valid)
+        if ac.skip_blank_frames and ac.block_pdf_pdfid >= 0:
+            # CTC blank-skip: blank-dominated frames don't move tokens
+            # (ref SkipBlockFrame, nnet-nnet.h:265-275)
+            from asr_decoder_tpu.models.nnet import blank_frame_mask
+            mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid)
+        self._beam, log = info.search.advance(self._beam, loglikes, mask)
         # host-copy the chunk log once here: partial-result tracebacks then
         # walk pure host memory (no per-call device transfers), and HBM
         # doesn't accumulate per-frame logs over long streams
@@ -354,6 +358,13 @@ class OnlineDecoderSession:
         graph type, like the reference's shared GetRawLattice
         (ref: GetLattice, kaldi-online-nnet3-my-decoder.h:336;
         online-decoder-base-inl.h:869-977 serves all decoder variants)."""
+        ac = self.info.am_config
+        if ac.skip_blank_frames and ac.block_pdf_pdfid >= 0:
+            raise RuntimeError(
+                "lattice output is unsupported with skip_blank_frames "
+                "(CTC blank-skip is a best-path fast path; the reference "
+                "likewise uses SkipBlockFrame only in best-path CTC "
+                "decoders, ref old-decoder/optimize-ctc-faster-decoder.h)")
         logs = self._merged_logs()
         if logs is None:
             return None

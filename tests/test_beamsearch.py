@@ -186,3 +186,32 @@ def test_gold_lattice_contains_best_path():
     assert words == gold.words
     if gold.reached_final:
         assert lm + am == pytest.approx(gold.cost, abs=1e-3)
+
+
+def test_blank_skip_mask_equals_frame_removal():
+    """CTC blank-skip semantics (ref SkipBlockFrame, nnet-nnet.h:265-275):
+    masking a frame out of the search (tokens carry unchanged) must equal
+    deleting that frame from the input sequence."""
+    from asr_decoder_tpu.models.nnet import blank_frame_mask
+    rng = np.random.default_rng(11)
+    fst, dev, i2p, cfg = _setup(rng, eps_mode="closure")
+    T, V = 18, 9
+    loglikes = rng.standard_normal((T, V)).astype(np.float32) * 3
+    # saturate the blank row (pdf 0) on some frames, as the posterior
+    # pipeline does (log ~70 > BLANK_SKIP_LOGPROB)
+    blank_frames = np.array([2, 3, 7, 11, 12, 13])
+    loglikes[blank_frames, 0] = 70.0
+    mask = ~np.asarray(blank_frame_mask(loglikes[None], 0))
+    assert mask.sum() == T - len(blank_frames)
+
+    search = TpuBeamSearch(dev, i2p, cfg)
+    state, init_log, logs = search.decode(loglikes[None], mask)
+    res_masked = search.traceback(state, init_log, logs, fst)[0]
+
+    kept = loglikes[np.asarray(mask[0])]
+    state2, init_log2, logs2 = search.decode(kept[None])
+    res_removed = search.traceback(state2, init_log2, logs2, fst)[0]
+
+    assert res_masked["cost"] == pytest.approx(res_removed["cost"], abs=1e-3)
+    assert res_masked["words"] == res_removed["words"]
+    assert res_masked["ilabels"] == res_removed["ilabels"]

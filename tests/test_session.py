@@ -253,3 +253,17 @@ def test_feature_buffer_exactly_once():
             buf.accept(feats[19:], end=True)]
     got = np.concatenate([o for o in outs if o.size], axis=0)
     np.testing.assert_allclose(got, whole, rtol=0, atol=0)
+
+
+def test_skip_blank_frames_session():
+    """CTC blank-skip in the session (ref SkipBlockFrame nnet-nnet.h:265):
+    best path still works; lattice output is refused in this mode."""
+    from asr_decoder_tpu.models.nnet import AmConfig
+    info = make_info(am_config=AmConfig(block_pdf_pdfid=0, skip_block=0.2,
+                                        skip_blank_frames=True))
+    s = OnlineDecoderSession(info)
+    s.process_data(make_wave(), eos=True)
+    res = s.get_best_path()
+    assert "words" in res
+    with pytest.raises(RuntimeError, match="skip_blank_frames"):
+        s.get_lattice()
