@@ -294,3 +294,36 @@ def merge_features(fbank: np.ndarray, pitch: np.ndarray) -> np.ndarray:
     T = min(fbank.shape[-2], pitch.shape[-2])
     return np.concatenate([np.asarray(fbank)[..., :T, :],
                            np.asarray(pitch)[..., :T, :]], axis=-1)
+
+
+class ArbitraryResample:
+    """Resample a signal at arbitrary (possibly non-uniform) time points
+    (ref: ArbitraryResample, src/pitch/resample.h:72-120 — used by the
+    Kaldi pitch extractor to evaluate NCCF lags off the sample grid).
+
+    ``sample_points``: output times in seconds.  Each output is a
+    windowed-sinc (Hanning-windowed, ``num_zeros`` half-lobes) interpolation
+    of the input at that time; evaluation is one dense [P, N] matmul so it
+    rides the MXU for batched inputs.
+    """
+
+    def __init__(self, num_samples_in: int, samp_rate_in: float,
+                 filter_cutoff: float, sample_points, num_zeros: int = 4):
+        assert 0 < filter_cutoff < samp_rate_in / 2
+        self.num_samples_in = int(num_samples_in)
+        pts = np.asarray(sample_points, np.float64)
+        half_width = num_zeros / (2.0 * filter_cutoff)
+        t_in = np.arange(num_samples_in) / samp_rate_in        # [N]
+        delta = t_in[None, :] - pts[:, None]                   # [P, N]
+        inside = np.abs(delta) < half_width
+        x = np.where(inside, delta, 0.0)
+        window = 0.5 * (1.0 + np.cos(np.pi * filter_cutoff / num_zeros
+                                     * 2.0 * x))
+        sinc = 2 * filter_cutoff * np.sinc(2 * filter_cutoff * x)
+        self.weights = jnp.asarray(
+            np.where(inside, window * sinc / samp_rate_in, 0.0), jnp.float32)
+
+    def resample(self, wave) -> jax.Array:
+        """f32[..., N] → f32[..., P] values at the sample points."""
+        wave = jnp.asarray(wave, jnp.float32)
+        return jnp.einsum("...n,pn->...p", wave, self.weights)

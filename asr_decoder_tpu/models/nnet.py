@@ -217,7 +217,7 @@ def _write_layer_blob(f, l: Layer) -> None:
 # the decodable: pure forward + posterior pipeline
 # ----------------------------------------------------------------------
 
-def am_forward(layers: list[Layer], x, state, *, do_softmax=True,
+def _am_forward_impl(layers: list[Layer], x, state, *, do_softmax=True,
                do_log=True, sub_prior=True, block_pdf_pdfid=-1,
                block_scale=1.0, skip_block=1.0, skip=0, skip_copy=False):
     """x f32[B,T,D] → log-likelihood rows f32[B,T',V], with streaming state.
@@ -259,6 +259,13 @@ def am_forward(layers: list[Layer], x, state, *, do_softmax=True,
     if skip and skip_copy:
         x = jnp.repeat(x, 1 + skip, axis=1)[:, :T_in]
     return x, new_state
+
+
+def am_forward(layers, x, state, **kw):
+    """Scoped wrapper over the AM forward (xprof scope "am/forward");
+    see ``_am_forward_impl`` for semantics."""
+    with jax.named_scope("am/forward"):
+        return _am_forward_impl(layers, x, state, **kw)
 
 
 def blank_frame_mask(loglikes, block_pdf_pdfid: int):

@@ -242,6 +242,11 @@ def _emit_stage(g: GraphArrays, state, cost, ll, *, cfg):
     """ProcessEmitting (ref inl.h:247-352): one row-gather of each beam
     state's packed arc records, flat ``[B, K*A]`` candidates, relax, prune.
     ``ll`` f32[B,V]."""
+    with jax.named_scope("search/emit"):
+        return _emit_stage_scoped(g, state, cost, ll, cfg=cfg)
+
+
+def _emit_stage_scoped(g: GraphArrays, state, cost, ll, *, cfg):
     K, A = cfg["K"], cfg["A"]
     B = state.shape[0]
     N = K * A
@@ -346,7 +351,8 @@ def _frame_step(g: GraphArrays, state, cost, ll, *, cfg):
     """One decode frame: emitting stage then ε stage(s); logs [S,B,K]
     (stage 0 = emitting, referencing previous-frame slots)."""
     state, cost, prev0, aid0 = _emit_stage(g, state, cost, ll, cfg=cfg)
-    state, cost, (eprev, eaid) = _eps_stages(g, state, cost, cfg=cfg)
+    with jax.named_scope("search/eps"):
+        state, cost, (eprev, eaid) = _eps_stages(g, state, cost, cfg=cfg)
     prev = jnp.concatenate([prev0[None], eprev], axis=0)
     aid = jnp.concatenate([aid0[None], eaid], axis=0)
     return state, cost, prev, aid

@@ -47,7 +47,7 @@ def _time(fn, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main(quick: bool = False):
+def main(quick: bool = False, profile_dir: str | None = None):
     from asr_decoder_tpu.decoder.config import DecoderConfig
     from asr_decoder_tpu.frontend.fbank import FbankConfig, compute_fbank
     from asr_decoder_tpu.fst.device_fst import DeviceFst
@@ -101,6 +101,11 @@ def main(quick: bool = False):
     iters = 3 if not quick else 1
     t_am = _time(am_jit, wave, iters=iters)
     t_search = _time(lambda l: search.advance(state0, l)[0], ll, iters=iters)
+    if profile_dir:
+        # xprof/Perfetto capture of one full pipeline run (SURVEY §5)
+        from asr_decoder_tpu.utils.profiling import trace
+        with trace(profile_dir):
+            _force(pipeline(wave))
     dt = _time(pipeline, wave, iters=iters)
 
     audio_s = batch * secs
@@ -124,4 +129,8 @@ def main(quick: bool = False):
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    pdir = None
+    for a in sys.argv[1:]:
+        if a.startswith("--profile-dir="):
+            pdir = a.split("=", 1)[1]
+    main(quick="--quick" in sys.argv, profile_dir=pdir)

@@ -20,3 +20,16 @@ if not os.environ.get("ASR_TPU_TESTS"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # persistent XLA compilation cache: the suite is compile-dominated
+    # (large jitted search/session programs); repeat runs hit the cache
+    # and skip recompiles entirely
+    try:
+        cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                                 ".pytest_cache", "jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -177,3 +177,87 @@ def test_score_corpus_and_oracle():
     assert st.ser == pytest.approx(0.5)
     err, idx = oracle_wer([1, 2, 3], [[1, 9, 3], [1, 2, 3], [7]])
     assert (err, idx) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# general graph algorithms (fst/algorithms.py)
+# ---------------------------------------------------------------------------
+
+def all_labeled_paths(lat, max_paths=10000):
+    """(ilabels, olabels, cost) enumeration (ε labels dropped)."""
+    from asr_decoder_tpu.fst.lattice import EPSILON as EPS
+    out = []
+
+    def rec(s, ils, ols, cost):
+        fw = lat.final(s)
+        if not fw.is_zero():
+            out.append((tuple(ils), tuple(ols), round(cost + fw.value, 6)))
+        for a in lat.arcs(s):
+            if len(out) > max_paths:
+                return
+            rec(a.dst,
+                ils + ([a.ilabel] if a.ilabel != EPS else []),
+                ols + ([a.olabel] if a.olabel != EPS else []),
+                cost + a.weight.value)
+
+    rec(lat.start, [], [], 0.0)
+    return sorted(set(out))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_reverse_reverses_paths(seed):
+    from asr_decoder_tpu.fst.algorithms import reverse
+    rng = np.random.default_rng(seed)
+    lat = random_lattice(rng)
+    rev = reverse(lat)
+    fwd = all_labeled_paths(lat)
+    bwd = all_labeled_paths(rev)
+    assert sorted((i[::-1], o[::-1], c) for i, o, c in fwd) == bwd
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_rmepsilon_preserves_paths(seed):
+    from asr_decoder_tpu.fst.algorithms import rmepsilon
+    rng = np.random.default_rng(seed + 100)
+    lat = random_lattice(rng)
+    before = all_labeled_paths(lat)
+    rmepsilon(lat)
+    for s in range(lat.num_states):
+        for a in lat.arcs(s):
+            assert (a.ilabel, a.olabel) != (EPSILON, EPSILON)
+    after = all_labeled_paths(lat)
+    # same label-sequence set; per sequence the best cost is preserved
+    # (parallel same-label arcs may merge, dropping dominated duplicates)
+    def best(paths):
+        b = {}
+        for i, o, c in paths:
+            k = (i, o)
+            if k not in b or c < b[k]:
+                b[k] = c
+        return b
+    bb, ba = best(before), best(after)
+    assert set(bb) == set(ba)
+    for k in bb:
+        assert ba[k] == pytest.approx(bb[k], abs=1e-4)
+
+
+def test_scc_dag_and_cycle():
+    from asr_decoder_tpu.fst.algorithms import (dfs_access,
+                                                strongly_connected_components)
+    rng = np.random.default_rng(3)
+    lat = random_lattice(rng)
+    comp = strongly_connected_components(lat)
+    # DAG: every state its own component, numbered reverse-topologically
+    assert len(set(comp)) == lat.num_states
+    for s in range(lat.num_states):
+        for a in lat.arcs(s):
+            if a.dst != s:
+                assert comp[a.dst] < comp[s]
+    # add a cycle 1 -> 0: states 0 and 1 collapse into one component
+    lat.add_arc(1, LatticeArc(1, 0, W(0.1), 0))
+    comp2 = strongly_connected_components(lat)
+    assert comp2[0] == comp2[1]
+    acc, coacc = dfs_access(lat)
+    assert acc[lat.start]
+    for s in lat.final_states():
+        assert coacc[s]

@@ -99,3 +99,30 @@ def test_timer_and_rtf():
     assert stats.rtf == pytest.approx(0.1)
     assert stats.nosil_rtf == pytest.approx(0.2)
     assert stats.speedup == pytest.approx(10.0)
+
+
+def test_profiling_scopes_and_trace(tmp_path):
+    """Named scopes compile inside jit; trace() writes a capture dir
+    (SURVEY §5: xprof-visible scopes)."""
+    import jax
+    import jax.numpy as jnp
+    from asr_decoder_tpu.utils.profiling import annotate, scope, trace
+
+    @jax.jit
+    def f(x):
+        with scope("test/double"):
+            return x * 2
+
+    with annotate("host-span"):
+        out = f(jnp.ones((4,)))
+    assert float(out.sum()) == 8.0
+    d = str(tmp_path / "xprof")
+    try:
+        with trace(d):
+            f(jnp.ones((4,))).block_until_ready()
+    except Exception:
+        return  # profiler unavailable on this backend — scope API covered
+    import os
+    assert os.path.isdir(d)
+    with trace(None):
+        pass
