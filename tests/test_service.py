@@ -152,3 +152,37 @@ def test_server_batched_arena_16_clients(info):
     assert chunks >= n_clients                 # every stream went through
     # (b) real batching: the arena packed multiple channels per dispatch
     assert chunks / max(dispatches, 1) >= 3.0, (chunks, dispatches)
+
+
+def test_native_client_end_to_end(info):
+    """The C++ client library (native/asr_client.cc via ctypes, mirroring
+    the reference's libclient.so + py-client, ref
+    src/client/py-client/client.py:14-60) must decode identically to the
+    Python client path."""
+    pytest.importorskip("ctypes")
+    from asr_decoder_tpu.serving.native_client import (NativeAsrClient,
+                                                       NativeClientUnavailable)
+    try:
+        from asr_decoder_tpu.serving import native_client
+        native_client._build_lib()
+    except NativeClientUnavailable:
+        pytest.skip("no g++ toolchain available")
+
+    wave = make_wave(3)
+    ref_session = OnlineDecoderSession(info)
+    ref_session.process_data(wave, eos=True)
+    want_best = ref_session.get_best_path_txt()
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0, num_channels=4))
+        host, port = await server.start()
+        try:
+            def client_work():
+                with NativeAsrClient(host, port) as c:
+                    return c.decode_utterance(wave.astype(np.int16))
+            return await asyncio.to_thread(client_work)
+        finally:
+            await server.stop()
+
+    got = asyncio.run(run())
+    assert got == want_best
