@@ -79,6 +79,13 @@ class EvalResult:
     wav_seconds: float         # at the reference's 100 frames/s accounting
     decode_seconds: float
     am_seconds: float
+    # cross-implementation parity material: the decode graph, the ilabel
+    # map, and (loglikes, device hyp words, device cost) for the first
+    # ``keep_samples`` utterances — eval.py re-decodes these through the
+    # actual reference C++ LatticeFasterDecoder (decoder/ref_parity.py)
+    fst: object = None
+    ilabel2pdf: object = None
+    samples: list = None
 
     @property
     def rtf(self) -> float:
@@ -90,7 +97,7 @@ class EvalResult:
 def evaluate_wer(task: SynthTask, layers, *, num_utts: int = 64,
                  batch: int = 16, max_frames: int = 160,
                  config: DecoderConfig | None = None, seed: int = 1234,
-                 check_gold: int = 0) -> EvalResult:
+                 check_gold: int = 0, keep_samples: int = 0) -> EvalResult:
     """Decode a held-out set through the device beam search; score WER
     against the sampled transcripts; optionally gold-decode the first
     ``check_gold`` utterances on host and score them identically (device
@@ -112,6 +119,7 @@ def evaluate_wer(task: SynthTask, layers, *, num_utts: int = 64,
 
     wer = WerStats()
     gold_wer = WerStats() if check_gold else None
+    samples: list = []
     mismatches = 0
     frames = am_s = dec_s = 0.0
     state0 = Nnet(layers).init_state(batch)
@@ -148,6 +156,9 @@ def evaluate_wer(task: SynthTask, layers, *, num_utts: int = 64,
         lls_np = np.asarray(lls)
         for b, (words, _) in enumerate(chunk):
             hyp = results[b]["words"]
+            if len(samples) < keep_samples:
+                samples.append((lls_np[b, :int(lens[b])].copy(), list(hyp),
+                                float(results[b]["cost"])))
             wer += score_pair(words, hyp)
             if gold_wer is not None and golds_done < check_gold:
                 g = GoldDecoder(fst, i2p, config).decode(
@@ -158,4 +169,5 @@ def evaluate_wer(task: SynthTask, layers, *, num_utts: int = 64,
     return EvalResult(wer=wer, gold_wer=gold_wer,
                       gold_mismatches=mismatches, frames=int(frames),
                       wav_seconds=frames / 100.0, decode_seconds=dec_s,
-                      am_seconds=am_s)
+                      am_seconds=am_s, fst=fst, ilabel2pdf=i2p,
+                      samples=samples)

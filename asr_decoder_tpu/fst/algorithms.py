@@ -45,15 +45,24 @@ def _eps_closure(lat: Lattice, s: int) -> dict[int, LatticeWeight]:
     """Best ε-path weight from ``s`` to every ε-reachable state (excluding
     the trivial empty path), by worklist relaxation — requires no negative
     total-weight ε-cycles (decode lattices are ε-acyclic)."""
+    from collections import deque
     dist: dict[int, LatticeWeight] = {}
-    work = [(s, LatticeWeight.one())]
-    guard = 0
-    limit = 10 * (lat.num_states + lat.num_arcs + 1)
+    # FIFO label-correcting relaxation (Bellman-Ford-like): each state can be
+    # dequeued at most num_states times on negative-cycle-free inputs, so the
+    # per-state counter is a true cycle check — unlike a LIFO stack, whose
+    # order is exponential on chained ε-diamond DAGs.
+    work: deque[int] = deque([s])
+    queued = {s}
+    src = {s: LatticeWeight.one()}
+    pops: dict[int, int] = {}
+    limit = lat.num_states + 1
     while work:
-        u, w = work.pop()
-        guard += 1
-        if guard > limit:
+        u = work.popleft()
+        queued.discard(u)
+        pops[u] = pops.get(u, 0) + 1
+        if pops[u] > limit:
             raise ValueError("rmepsilon: negative-weight epsilon cycle")
+        w = src[u]
         for a in lat.arcs(u):
             if a.ilabel != EPSILON or a.olabel != EPSILON:
                 continue
@@ -62,7 +71,10 @@ def _eps_closure(lat: Lattice, s: int) -> dict[int, LatticeWeight]:
             best = nw if old is None else plus(nw, old)
             if old is None or best != old:
                 dist[a.dst] = best
-                work.append((a.dst, best))
+                src[a.dst] = best
+                if a.dst not in queued:
+                    queued.add(a.dst)
+                    work.append(a.dst)
     return dist
 
 

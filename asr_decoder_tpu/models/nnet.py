@@ -268,7 +268,12 @@ def am_forward(layers, x, state, **kw):
         return _am_forward_impl(layers, x, state, **kw)
 
 
-def blank_frame_mask(loglikes, block_pdf_pdfid: int):
-    """True where the frame is a skippable CTC blank
-    (ref: SkipBlockFrame, nnet-nnet.h:265-275)."""
-    return loglikes[..., block_pdf_pdfid] > BLANK_SKIP_LOGPROB
+def blank_frame_mask(loglikes, block_pdf_pdfid: int,
+                     acoustic_scale: float = 1.0):
+    """True where the frame is a skippable CTC blank.  The reference compares
+    LogLikelihood(frame, blank), which includes the acoustic scale
+    (ref: SkipBlockFrame, nnet-nnet.h:265-275; scale at nnet-nnet.h:231) —
+    ``loglikes`` here are unscaled (the search applies the scale), so the
+    scale is applied to the blank score before thresholding."""
+    return (acoustic_scale * loglikes[..., block_pdf_pdfid]
+            > BLANK_SKIP_LOGPROB)

@@ -128,7 +128,7 @@ int asr_get_result(int fd, char* text_out, int text_cap, int* end_flag) {
     if (off + 4 > n) return -1;
     uint32_t tl = GetU32(p + off);
     off += 4;
-    if (off + tl + 8 + 4 > n + 1) return -1;
+    if (off + tl + 8 + 4 > n) return -1;
     if (i == 0 && text_out && text_cap > 0) {
       uint32_t c = tl < static_cast<uint32_t>(text_cap - 1)
                        ? tl

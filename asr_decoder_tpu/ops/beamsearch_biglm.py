@@ -339,6 +339,36 @@ class TpuBigLmBeamSearch:
         self.graph = make_biglm_graph_arrays(dev, ilabel2pdf)
         self._lm_tabs = _lm_tables(difflm)
         K = min(cfg.beam_width, cfg.max_active)
+        # Validate the LM candidate-compaction width against a graph-derived
+        # worst case: a relax stage has at most K tokens × (max per-state
+        # word-arc out-degree) word candidates; lm_lanes ≥ that bound can
+        # never drop a candidate (the reference never drops,
+        # ref: online-decoder-mempool-base-biglm.h:316-402).  Undersized
+        # lanes stay legal (a throughput/exactness trade) but must be loud —
+        # per-utterance drops are also surfaced as ``overflowed`` in
+        # traceback results and served to clients.
+        A = int(self.graph.em_rec.shape[1]) // 5
+        em_src = np.repeat(np.arange(dev.num_states), dev.em_count)
+        eps_src = np.repeat(np.arange(dev.num_states), dev.eps_count)
+        wdeg = 0
+        if len(em_src):
+            m = dev.em_olabel > 0
+            if m.any():
+                wdeg = int(np.bincount(em_src[m]).max())
+        if len(eps_src):
+            m = dev.eps_olabel > 0
+            if m.any():
+                wdeg = max(wdeg, int(np.bincount(eps_src[m]).max()))
+        self.lm_lanes_bound = min(K * max(wdeg, 1), K * A)
+        if cfg.lm_lanes < self.lm_lanes_bound:
+            import logging
+            logging.getLogger(__name__).warning(
+                "biglm: lm_lanes=%d < worst-case word candidates %d "
+                "(K=%d × max word out-degree %d): overflowing word "
+                "candidates will be DROPPED from the search; raise "
+                "DecoderConfig.lm_lanes to ≥%d for exactness",
+                cfg.lm_lanes, self.lm_lanes_bound, K, max(wdeg, 1),
+                self.lm_lanes_bound)
         self._static = tuple(sorted(dict(
             K=K,
             A=int(self.graph.em_rec.shape[1]) // 5,

@@ -86,8 +86,10 @@ class BatchedStreamingDecoder:
             from asr_decoder_tpu.parallel.decode import shard_beam_state
             beam = shard_beam_state(mesh, beam)
         self._beam = beam
-        # init rows are identical across the arena: keep row 0 as template
-        self._init_log_row = jax.tree_util.tree_map(
+        # init rows are identical across the arena: keep row 0 as template.
+        # Generic over the variant's init-log pytree: leaves are
+        # [stages, B, K] (ndim 3 → slice axis 1) or [B, ...] (slice axis 0)
+        self._init_log_tree = jax.tree_util.tree_map(
             lambda a: np.asarray(a[:, :1] if a.ndim == 3 else a[:1]),
             init_log)
         self._beam_init_row = jax.tree_util.tree_map(
@@ -129,9 +131,10 @@ class BatchedStreamingDecoder:
     def _reset_rows(self, cids: list[int]) -> None:
         """Reset beam + AM arena rows for the given channels."""
         idx = jnp.asarray(np.asarray(cids, np.int32))
-        self._beam = BeamState(*(
-            a.at[idx].set(jnp.broadcast_to(r, (len(cids),) + r.shape[1:]))
-            for a, r in zip(self._beam, self._beam_init_row)))
+        self._beam = jax.tree_util.tree_map(
+            lambda a, r: a.at[idx].set(
+                jnp.broadcast_to(r, (len(cids),) + r.shape[1:])),
+            self._beam, self._beam_init_row)
         self._am_state = [
             {k: v.at[idx].set(jnp.broadcast_to(z[k],
                                                (len(cids),) + z[k].shape[1:]))
@@ -145,9 +148,10 @@ class BatchedStreamingDecoder:
         ch = self._channels[cid]
         assert ch is not None
         idx = jnp.asarray(np.asarray([cid], np.int32))
-        self._beam = BeamState(*(
-            a.at[idx].set(jnp.broadcast_to(r, (1,) + r.shape[1:]))
-            for a, r in zip(self._beam, self._beam_init_row)))
+        self._beam = jax.tree_util.tree_map(
+            lambda a, r: a.at[idx].set(
+                jnp.broadcast_to(r, (1,) + r.shape[1:])),
+            self._beam, self._beam_init_row)
         ch.chunk_logs = []
         ch.loglikes = []
         ch.frames_decoded = 0
@@ -255,19 +259,22 @@ class BatchedStreamingDecoder:
         if ac.skip_blank_frames and ac.block_pdf_pdfid >= 0:
             # CTC blank-skip (ref SkipBlockFrame, nnet-nnet.h:265-275)
             from asr_decoder_tpu.models.nnet import blank_frame_mask
-            mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid)
+            mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid,
+                                            ac.acoustic_scale)
         self._beam, log = info.search.advance(self._beam, loglikes, mask)
-        # split the batched log into per-channel chunks (host side)
-        log_np = FrameLog(*(np.asarray(a) for a in log))
+        # split the batched log into per-channel chunks (host side) —
+        # generic over the decoder variant's log pytree: every leaf has a
+        # leading T axis, then either (stages, B, ...) for ndim ≥ 4 or
+        # (B, ...) otherwise (covers hclg FrameLog, BigLmFrameLog incl.
+        # its [T, B] overflow leaf, and the CLG plain-tuple log)
+        log_np = jax.tree_util.tree_map(np.asarray, log)
         ll_np = np.asarray(loglikes)
         for cid in advanced:
             v = int(valid[cid])
             ch = self._channels[cid]
-            ch.chunk_logs.append(FrameLog(
-                log_np.prev_slot[:v, :, cid:cid + 1],
-                log_np.arc_id[:v, :, cid:cid + 1],
-                log_np.tok_state[:v, cid:cid + 1],
-                log_np.tok_cost[:v, cid:cid + 1]))
+            ch.chunk_logs.append(jax.tree_util.tree_map(
+                lambda a, v=v, c=cid: (a[:v, :, c:c + 1] if a.ndim >= 4
+                                       else a[:v, c:c + 1]), log_np))
             ch.loglikes.append(ll_np[cid, :v])
             ch.frames_decoded += v
         return advanced
@@ -278,25 +285,27 @@ class BatchedStreamingDecoder:
             self.step()
 
     # -- results -------------------------------------------------------------
-    def _channel_beam(self, cid: int) -> BeamState:
-        return BeamState(*(a[cid:cid + 1] for a in self._beam))
+    def _channel_beam(self, cid: int):
+        return jax.tree_util.tree_map(lambda a: a[cid:cid + 1], self._beam)
 
-    def _merged_logs(self, cid: int) -> FrameLog | None:
+    def _merged_logs(self, cid: int):
         ch = self._channels[cid]
         if not ch.chunk_logs:
             return None
-        return FrameLog(*(np.concatenate(
-            [getattr(l, f) for l in ch.chunk_logs], axis=0)
-            for f in FrameLog._fields))
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *ch.chunk_logs)
 
-    def _init_log(self) -> FrameLog:
-        return FrameLog(*self._init_log_row)
+    def _init_log(self):
+        return self._init_log_tree
 
     def get_best_path(self, cid: int) -> dict:
         ch = self._channels[cid]
         if not ch.chunk_logs:
             return dict(arc_ids=[], cost=0.0, words=[], ilabels=[],
                         reached_final=False)
+        if self.info.config.graph_type == "clg":
+            return self.info.search.traceback(
+                self._channel_beam(cid), self._init_log(), ch.chunk_logs)[0]
         return self.info.search.traceback(
             self._channel_beam(cid), self._init_log(), ch.chunk_logs,
             self.info.fst)[0]
@@ -318,9 +327,14 @@ class BatchedStreamingDecoder:
         if logs is None:
             return None
         lls = np.concatenate(ch.loglikes, axis=0)[None]
-        lat = self.info.search.get_lattices(
-            self._init_log(), logs, lls, self.info.fst,
-            frame_mask=np.ones((1, lls.shape[1]), bool))[0]
+        mask = np.ones((1, lls.shape[1]), bool)
+        if self.info.config.graph_type == "clg":
+            lat = self.info.search.get_lattices(
+                self._init_log(), logs, lls, frame_mask=mask)[0]
+        else:   # hclg / biglm-hclg share the StdFst-keyed signature
+            lat = self.info.search.get_lattices(
+                self._init_log(), logs, lls, self.info.fst,
+                frame_mask=mask)[0]
         if determinize and lat.num_states:
             try:
                 lat = determinize_lattice(lat)

@@ -312,7 +312,8 @@ class OnlineDecoderSession:
             # CTC blank-skip: blank-dominated frames don't move tokens
             # (ref SkipBlockFrame, nnet-nnet.h:265-275)
             from asr_decoder_tpu.models.nnet import blank_frame_mask
-            mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid)
+            mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid,
+                                            ac.acoustic_scale)
         self._beam, log = info.search.advance(self._beam, loglikes, mask)
         # host-copy the chunk log once here: partial-result tracebacks then
         # walk pure host memory (no per-call device transfers), and HBM

@@ -55,8 +55,32 @@ def main() -> None:
                            min_active=200, arc_lanes=16)
     res = evaluate_wer(task, layers, num_utts=utts, batch=16,
                        max_frames=192, config=config,
-                       check_gold=check_gold)
+                       check_gold=check_gold, keep_samples=check_gold)
     w = res.wer
+
+    # cross-implementation parity: same graph + loglikes through the ACTUAL
+    # reference C++ LatticeFasterDecoder (built Kaldi-free from
+    # /root/reference, see decoder/ref_parity.py) at the same operating
+    # point — word agreement externally anchors the WER number
+    ref_par = None
+    from asr_decoder_tpu.decoder import ref_parity
+    if ref_parity.available() and res.samples:
+        import tempfile
+        binary = ref_parity.build(tempfile.mkdtemp(prefix="refparity_"))
+        agree = 0
+        max_dcost = 0.0
+        for lls, hyp, cost in res.samples:
+            r = ref_parity.run(binary, res.fst, lls, res.ilabel2pdf,
+                               beam=config.beam,
+                               max_active=config.max_active,
+                               min_active=config.min_active)
+            agree += int(r.get("words", []) == hyp)
+            if r.get("nonempty"):
+                max_dcost = max(max_dcost, abs(r["cost"] - cost))
+        ref_par = {"checked": len(res.samples), "words_agree": agree,
+                   "max_cost_delta": round(max_dcost, 4)}
+        print(f"reference C++ decoder parity: {agree}/{len(res.samples)} "
+              f"words agree, max |Δcost| {max_dcost:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "wer",
         "value": round(w.wer, 4),
@@ -78,6 +102,7 @@ def main() -> None:
                 "max_active": config.max_active,
                 "min_active": config.min_active},
             "ctc_loss": round(loss, 4),
+            "ref_parity": ref_par,
         }}))
 
 

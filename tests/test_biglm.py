@@ -99,6 +99,33 @@ def test_biglm_compaction_exact_when_lanes_suffice(fsas):
     assert r1["words"] == r2["words"]
 
 
+def test_biglm_undersized_lm_lanes_warns_at_build(fsas):
+    """Undersized lm_lanes (can drop word candidates, unlike the reference,
+    ref: online-decoder-mempool-base-biglm.h:316-402) must be loud at
+    build time: a warning naming the graph-derived safe bound.  (The package
+    logger has propagate=False, so capture with a direct handler.)"""
+    import logging
+    fsa1, fsa2 = fsas
+    _, fst, dev, i2p, cfg = _setup_biglm(3, lm_lanes=2)
+    difflm = DeviceDiffLm.build(fsa1, fsa2)
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    lg = logging.getLogger("asr_decoder_tpu")
+    lg.addHandler(h)
+    try:
+        s = TpuBigLmBeamSearch(dev, i2p, difflm, cfg)
+        assert any("lm_lanes" in r.getMessage() for r in records)
+        assert s.lm_lanes_bound > 2
+        # a safely-sized build stays quiet
+        records.clear()
+        big = DecoderConfig(**{**cfg.__dict__, "lm_lanes": 1 << 20})
+        TpuBigLmBeamSearch(dev, i2p, difflm, big)
+        assert not any("lm_lanes" in r.getMessage() for r in records)
+    finally:
+        lg.removeHandler(h)
+
+
 def test_biglm_batched_matches_single(fsas):
     fsa1, fsa2 = fsas
     rng, fst, dev, i2p, cfg = _setup_biglm(5)
