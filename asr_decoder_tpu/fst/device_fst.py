@@ -13,7 +13,7 @@ are kept in two separate CSR blocks so ProcessEmitting / ProcessNonemitting
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -62,16 +62,17 @@ class DeviceFst:
     eps_arcid: np.ndarray
     # ε-closure block (lazily built by ``build_closure``): for each state s,
     # entries are the *proper* ε-reachable states (s itself is implicit) with
-    # their best ε-path weight; ``clo_paths[i]`` is the original-arc-id
-    # sequence of entry i's best ε-path (split-chain links dropped).  This
-    # turns the reference's per-frame ε worklist (ProcessNonemitting,
+    # their best ε-path weight; ``clo_path_mat[i]`` holds entry i's best
+    # ε-path original arc ids BACKWARD-ordered (v→s), -1 padded (split-chain
+    # links dropped).  This turns the reference's per-frame ε worklist
+    # (ProcessNonemitting,
     # ref: src/my-decoder/online-decoder-base-inl.h:354-437) into a single
     # precomputed relaxation stage on device.
     clo_offset: np.ndarray | None = None   # i32[num_states]
     clo_count: np.ndarray | None = None    # i32[num_states]
     clo_dst: np.ndarray | None = None      # i32[num_clo]
     clo_weight: np.ndarray | None = None   # f32[num_clo]
-    clo_paths: list = field(default_factory=list)  # list[np.ndarray]
+    clo_path_mat: np.ndarray | None = None  # i64[num_clo, max_depth]
 
     @property
     def max_em_degree(self) -> int:
@@ -247,7 +248,7 @@ class DeviceFst:
             self.clo_count = np.zeros(n, np.int32)
             self.clo_dst = np.zeros(0, np.int32)
             self.clo_weight = np.zeros(0, np.float32)
-            self.clo_paths = []
+            self.clo_path_mat = np.zeros((0, 0), np.int64)
             return
         # vectorized all-sources Bellman-Ford over the ε-subgraph: the
         # relation R = {(s, v) → (dist, last_edge)} starts as the identity
@@ -304,30 +305,40 @@ class DeviceFst:
         offset = np.zeros(n, np.int32)
         np.cumsum(count[:-1], out=offset[1:])
         # best-ε-path arc ids per entry: follow last-edge predecessors
-        # through the (s, u) table (searchsorted on the sorted keys);
-        # pred chains are consistent at fixpoint
+        # through the (s, u) table — vectorized across ALL entries at once,
+        # one searchsorted batch per chain depth level (the per-entry
+        # Python walk this replaces reintroduced hours-scale preprocessing
+        # on production HCLGs with wide closures).  Pred chains are
+        # consistent at fixpoint.
         keys = R_s * n + R_v
         esrc = np.repeat(np.arange(n, dtype=np.int64), e_cnt)
-        paths: list[np.ndarray] = []
-        eps_arcid = self.eps_arcid
-        for i in range(len(C_s)):
-            s, e = int(C_s[i]), int(C_e[i])
-            path = []
-            for _ in range(n + 1):
-                aid = int(eps_arcid[e])
-                if aid >= 0:        # drop split-chain bookkeeping links
-                    path.append(aid)
-                u = int(esrc[e])
-                if u == s:
-                    break
-                j = int(np.searchsorted(keys, s * n + u))
-                e = int(R_e[j])
-            else:
+        eps_arcid = self.eps_arcid.astype(np.int64)
+        m = len(C_s)
+        cur_e = C_e.astype(np.int64).copy()
+        active = np.ones(m, bool)
+        cols: list[np.ndarray] = []    # arc id per entry per depth, -1=none
+        for _ in range(n + 1):
+            if not active.any():
+                break
+            safe = np.where(active, cur_e, 0)
+            # -1 marks both inactive entries and split-chain bookkeeping
+            # links (eps_arcid == -1); consumers drop them identically
+            aid = np.where(active, eps_arcid[safe], -1)
+            cols.append(aid)
+            u = esrc[safe]
+            cont = active & (u != C_s)
+            if cont.any():
+                j = np.searchsorted(keys, C_s[cont] * n + u[cont])
+                cur_e[cont] = R_e[j]
+            active = cont
+        else:
+            if active.any():
                 raise ValueError("epsilon closure path cycle")
-            paths.append(np.array(path[::-1], np.int64))
+        # rows are BACKWARD-ordered (v→s): level 0 is the path's last edge
+        self.clo_path_mat = (np.stack(cols, axis=1) if cols
+                             else np.zeros((m, 0), np.int64))
         self.clo_offset = offset
         self.clo_count = count
         self.clo_dst = C_v.astype(np.int32)
         self.clo_weight = C_d.astype(np.float32)
-        self.clo_paths = paths
 

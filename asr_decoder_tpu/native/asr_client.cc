@@ -16,6 +16,7 @@
 #include <cstring>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
+#include <cstdio>
 #include <string>
 #include <sys/socket.h>
 #include <unistd.h>
@@ -87,8 +88,9 @@ int asr_tcp_connect(const char* ip, int port) {
 // One C2S chunk (ref: SendPack / SendLastPack, asr-client-api.h:12-18).
 // pcm: 16-bit little-endian samples; head/eos/lattice/nbest as in the
 // C2S head (serving/protocol.py C2SPackage.HEAD "<IBBBBBBBBBBBII").
-int asr_send_pack(int fd, const char* pcm, int nbytes, int audio_head,
-                  int eos, int nbest, int want_lattice, int seq) {
+int asr_send_pack_ex(int fd, const char* pcm, int nbytes, int audio_head,
+                     int eos, int nbest, int want_lattice, int want_align,
+                     int want_score, int seq) {
   if (nbest < 0 || nbest > 63) return -1;
   std::vector<uint8_t> head;
   head.reserve(23);
@@ -96,7 +98,9 @@ int asr_send_pack(int fd, const char* pcm, int nbytes, int audio_head,
   const uint8_t flags[11] = {
       /*dtype=SHORT*/ 0, /*bit*/ 16, /*sample_rate=K16*/ 0,
       /*audio_type=PCM*/ 0, static_cast<uint8_t>(audio_head != 0),
-      static_cast<uint8_t>(want_lattice != 0), /*ali*/ 0, /*score*/ 0,
+      static_cast<uint8_t>(want_lattice != 0),
+      static_cast<uint8_t>(want_align != 0),
+      static_cast<uint8_t>(want_score != 0),
       static_cast<uint8_t>(nbest), static_cast<uint8_t>(eos != 0),
       /*keep*/ 0};
   head.insert(head.end(), flags, flags + 11);
@@ -107,11 +111,21 @@ int asr_send_pack(int fd, const char* pcm, int nbytes, int audio_head,
   return 0;
 }
 
+int asr_send_pack(int fd, const char* pcm, int nbytes, int audio_head,
+                  int eos, int nbest, int want_lattice, int seq) {
+  return asr_send_pack_ex(fd, pcm, nbytes, audio_head, eos, nbest,
+                          want_lattice, /*align=*/0, /*score=*/0, seq);
+}
+
 // Read one S2C reply; copies the 1-best text into text_out (NUL-terminated,
-// truncated to text_cap-1) and stores the end flag (0/1/2).  Returns the
-// number of n-best results, or -1 on error.
-// (ref: GetResult, asr-client-api.h:20-24)
-int asr_get_result(int fd, char* text_out, int text_cap, int* end_flag) {
+// truncated to text_cap-1) and stores the end flag (0/1/2).  When
+// align_out is non-NULL and the reply carries the AlignTime payload
+// (ref: net-data-package.h:210; parsed in the ref client at
+// src/client/py-client/asr-client-api.cc:119-126), writes one
+// "word\tbegin\tend\n" line per word.  Returns the number of n-best
+// results, or -1 on error.  (ref: GetResult, asr-client-api.h:20-24)
+int asr_get_result_align(int fd, char* text_out, int text_cap,
+                         int* end_flag, char* align_out, int align_cap) {
   uint8_t lenbuf[4];
   if (!ReadN(fd, lenbuf, 4)) return -1;
   uint32_t n = GetU32(lenbuf);
@@ -121,9 +135,11 @@ int asr_get_result(int fd, char* text_out, int text_cap, int* end_flag) {
   const uint8_t* p = body.data();
   if (GetU32(p) != kMagicS2C) return -1;
   if (end_flag) *end_flag = p[4];
+  uint8_t has_ali = p[7];
   uint32_t nres = GetU32(p + 10);
   size_t off = 14;
   if (text_out && text_cap > 0) text_out[0] = '\0';
+  if (align_out && align_cap > 0) align_out[0] = '\0';
   for (uint32_t i = 0; i < nres; ++i) {
     if (off + 4 > n) return -1;
     uint32_t tl = GetU32(p + off);
@@ -141,7 +157,39 @@ int asr_get_result(int fd, char* text_out, int text_cap, int* end_flag) {
     off += 4 + 4 * static_cast<size_t>(nw);
     if (off > n) return -1;
   }
+  if (has_ali) {
+    if (off + 4 > n) return -1;
+    uint32_t na = GetU32(p + off);
+    off += 4;
+    std::string lines;
+    for (uint32_t i = 0; i < na; ++i) {
+      if (off + 4 > n) return -1;
+      uint32_t wl = GetU32(p + off);
+      off += 4;
+      if (off + wl + 8 > n) return -1;
+      std::string word(reinterpret_cast<const char*>(p + off), wl);
+      off += wl;
+      float be[2];
+      std::memcpy(be, p + off, 8);
+      off += 8;
+      char buf[64];
+      std::snprintf(buf, sizeof(buf), "\t%.3f\t%.3f\n", be[0], be[1]);
+      lines += word;
+      lines += buf;
+    }
+    if (align_out && align_cap > 0) {
+      size_t c = lines.size() < static_cast<size_t>(align_cap - 1)
+                     ? lines.size()
+                     : static_cast<size_t>(align_cap - 1);
+      std::memcpy(align_out, lines.data(), c);
+      align_out[c] = '\0';
+    }
+  }
   return static_cast<int>(nres);
+}
+
+int asr_get_result(int fd, char* text_out, int text_cap, int* end_flag) {
+  return asr_get_result_align(fd, text_out, text_cap, end_flag, NULL, 0);
 }
 
 void asr_close(int fd) { ::close(fd); }

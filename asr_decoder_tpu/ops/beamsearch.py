@@ -546,7 +546,8 @@ class TpuBeamSearch:
         if stage == 0:                       # emitting block index
             return [int(self.dev.em_arcid[a])]
         if self.mode == "closure":           # closure entry index
-            return [int(x) for x in self.dev.clo_paths[a][::-1]]
+            row = self.dev.clo_path_mat[a]   # backward-ordered, -1 padded
+            return [int(x) for x in row[row >= 0]]
         aid = int(self.dev.eps_arcid[a])     # ε block index
         return [aid] if aid >= 0 else []     # skip split-chain links
 

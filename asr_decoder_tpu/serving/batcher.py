@@ -48,6 +48,17 @@ class _Channel:
     trailing_sil: int = 0
 
 
+@dataclass
+class ChannelSnapshot:
+    """Immutable capture of one channel's result state (see the results
+    section below): frame-log arrays and beam arrays are never mutated in
+    place, so heavy result building can run off the device thread."""
+    beam: object
+    chunk_logs: list
+    loglikes: list
+    frames_decoded: int
+
+
 def _tree_where(mask_b, new, old):
     """Per-leaf jnp.where over batch-leading pytrees, mask bool[B]."""
     def sel(n, o):
@@ -285,36 +296,79 @@ class BatchedStreamingDecoder:
             self.step()
 
     # -- results -------------------------------------------------------------
+    #
+    # Result building is split in two so a server can run the EXPENSIVE part
+    # (traceback / lattice / determinize / n-best — pure host compute over
+    # immutable arrays) on a separate thread from the device loop (the
+    # reference likewise isolates result/rescore work from decode threads,
+    # ref: src/post-processing-service/):
+    #   * ``snapshot(cid)`` — O(1) capture of the channel's result state;
+    #     MUST run serialized with ``step()`` (same single-writer thread);
+    #   * ``*_from(snap)`` — heavy builders over the snapshot; safe to run
+    #     concurrently with further ``step()`` calls because every captured
+    #     object (frame-log arrays, beam arrays) is immutable and ``step``
+    #     only rebinds/appends.
     def _channel_beam(self, cid: int):
         return jax.tree_util.tree_map(lambda a: a[cid:cid + 1], self._beam)
 
-    def _merged_logs(self, cid: int):
+    def snapshot(self, cid: int):
+        """Immutable result-state snapshot of a channel (cheap)."""
         ch = self._channels[cid]
-        if not ch.chunk_logs:
+        return ChannelSnapshot(
+            beam=self._channel_beam(cid),
+            chunk_logs=list(ch.chunk_logs),
+            loglikes=list(ch.loglikes),
+            frames_decoded=ch.frames_decoded)
+
+    def _merged_logs_from(self, snap):
+        if not snap.chunk_logs:
             return None
         return jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs, axis=0), *ch.chunk_logs)
+            lambda *xs: np.concatenate(xs, axis=0), *snap.chunk_logs)
 
     def _init_log(self):
         return self._init_log_tree
 
-    def get_best_path(self, cid: int) -> dict:
-        ch = self._channels[cid]
-        if not ch.chunk_logs:
+    def get_best_path_from(self, snap) -> dict:
+        if not snap.chunk_logs:
             return dict(arc_ids=[], cost=0.0, words=[], ilabels=[],
                         reached_final=False)
         if self.info.config.graph_type == "clg":
             return self.info.search.traceback(
-                self._channel_beam(cid), self._init_log(), ch.chunk_logs)[0]
+                snap.beam, self._init_log(), snap.chunk_logs)[0]
         return self.info.search.traceback(
-            self._channel_beam(cid), self._init_log(), ch.chunk_logs,
+            snap.beam, self._init_log(), snap.chunk_logs,
             self.info.fst)[0]
+
+    def get_best_path(self, cid: int) -> dict:
+        return self.get_best_path_from(self.snapshot(cid))
 
     def get_best_path_txt(self, cid: int) -> str:
         res = self.get_best_path(cid)
         return " ".join(self.info.words.words(res.get("words", [])))
 
-    def get_lattice(self, cid: int, determinize: bool = True):
+    def get_word_alignment_from(self, snap, frame_offset: int = 0
+                                ) -> list[tuple[str, float, float]]:
+        """AlignTime payload for the channel's best path (ref AlignTime,
+        net-data-package.h:210)."""
+        from asr_decoder_tpu.align.word_align import (spans_to_align,
+                                                      word_spans)
+        fst = self.info.fst
+        if fst is None:
+            raise RuntimeError(
+                "word alignment needs an arc-labeled StdFst graph "
+                "(hclg/biglm-hclg)")
+        res = self.get_best_path_from(snap)
+        spans = word_spans(res.get("arc_ids", []), fst.arc_ilabel,
+                           fst.arc_olabel, frame_offset)
+        return spans_to_align(spans, self.info.words,
+                              self.info.seconds_per_frame)
+
+    def get_word_alignment(self, cid: int, frame_offset: int = 0):
+        return self.get_word_alignment_from(self.snapshot(cid),
+                                            frame_offset)
+
+    def get_lattice_from(self, snap, determinize: bool = True):
         from asr_decoder_tpu.fst.determinize import (DeterminizeError,
                                                      determinize_lattice)
         ac = self.info.am_config
@@ -322,11 +376,10 @@ class BatchedStreamingDecoder:
             raise RuntimeError(
                 "lattice output is unsupported with skip_blank_frames "
                 "(CTC blank-skip is a best-path fast path)")
-        logs = self._merged_logs(cid)
-        ch = self._channels[cid]
+        logs = self._merged_logs_from(snap)
         if logs is None:
             return None
-        lls = np.concatenate(ch.loglikes, axis=0)[None]
+        lls = np.concatenate(snap.loglikes, axis=0)[None]
         mask = np.ones((1, lls.shape[1]), bool)
         if self.info.config.graph_type == "clg":
             lat = self.info.search.get_lattices(
@@ -342,9 +395,12 @@ class BatchedStreamingDecoder:
                 pass
         return lat
 
-    def get_nbest(self, cid: int, n: int) -> list[dict]:
+    def get_lattice(self, cid: int, determinize: bool = True):
+        return self.get_lattice_from(self.snapshot(cid), determinize)
+
+    def get_nbest_from(self, snap, n: int) -> list[dict]:
         from asr_decoder_tpu.fst.nbest import nshortest
-        lat = self.get_lattice(cid, determinize=True)
+        lat = self.get_lattice_from(snap, determinize=True)
         if lat is None or not lat.num_states:
             return []
         out = []
@@ -354,3 +410,6 @@ class BatchedStreamingDecoder:
                             text=" ".join(self.info.words.words(words)),
                             graph_cost=p.graph_cost, am_cost=p.am_cost))
         return out
+
+    def get_nbest(self, cid: int, n: int) -> list[dict]:
+        return self.get_nbest_from(self.snapshot(cid), n)

@@ -44,13 +44,19 @@ class AsyncAsrClient:
                 pass
 
     async def send_chunk(self, samples: np.ndarray, *, end: bool = False,
-                         nbest: int = 0, lattice: bool = False) -> S2CPackage:
+                         nbest: int = 0, lattice: bool = False,
+                         ali_info: bool = False,
+                         score_info: bool = False) -> S2CPackage:
         """Send one PCM chunk, await the per-chunk reply
-        (ref: SendPack / SendLastPack, asr-client-api.h:14-18)."""
+        (ref: SendPack / SendLastPack, asr-client-api.h:14-18).
+        ``ali_info`` requests per-word time spans in the reply (the
+        AlignTime payload, ref net-data-package.h:210 — available on the
+        parsed reply as ``.align``)."""
         assert self._writer is not None and self._reader is not None
         pkg = C2SPackage.from_samples(
             samples, dtype=DType.SHORT, audio_head=(self._n == 0),
-            end_flag=end, nbest=nbest, lattice=lattice, n=self._n)
+            end_flag=end, nbest=nbest, lattice=lattice, ali_info=ali_info,
+            score_info=score_info, n=self._n)
         self._n += 1
         self._writer.write(pkg.pack())
         await self._writer.drain()
@@ -59,6 +65,8 @@ class AsyncAsrClient:
     async def decode_utterance(self, samples: np.ndarray,
                                chunk_samples: int = 3200, *, nbest: int = 0,
                                lattice: bool = False,
+                               ali_info: bool = False,
+                               score_info: bool = False,
                                realtime: bool = False) -> S2CPackage:
         """Stream a whole utterance in chunks; returns the final reply.
         ``realtime=True`` paces chunks at audio rate (load-test mode)."""
@@ -68,7 +76,9 @@ class AsyncAsrClient:
             chunk = samples[off:off + chunk_samples]
             end = off + chunk_samples >= len(samples)
             final = await self.send_chunk(chunk, end=end, nbest=nbest,
-                                          lattice=lattice)
+                                          lattice=lattice,
+                                          ali_info=ali_info,
+                                          score_info=score_info)
             if realtime and not end:
                 await asyncio.sleep(len(chunk) / 16000)
         assert final is not None

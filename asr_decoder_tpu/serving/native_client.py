@@ -59,10 +59,20 @@ def _lib() -> ctypes.CDLL:
                 ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
             lib.asr_send_pack.restype = ctypes.c_int
+            lib.asr_send_pack_ex.argtypes = [
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int]
+            lib.asr_send_pack_ex.restype = ctypes.c_int
             lib.asr_get_result.argtypes = [
                 ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int)]
             lib.asr_get_result.restype = ctypes.c_int
+            lib.asr_get_result_align.argtypes = [
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+                ctypes.c_int]
+            lib.asr_get_result_align.restype = ctypes.c_int
             lib.asr_close.argtypes = [ctypes.c_int]
             lib.asr_close.restype = None
             _LIB = lib
@@ -80,24 +90,36 @@ class NativeAsrClient:
         if self._fd < 0:
             raise ConnectionError(f"connect {host}:{port} failed")
         self._seq = 0
+        self.last_align: list[tuple[str, float, float]] = []
 
     def send_chunk(self, samples: np.ndarray, *, eos: bool = False,
-                   nbest: int = 0) -> tuple[str, int]:
+                   nbest: int = 0, ali_info: bool = False
+                   ) -> tuple[str, int]:
         """Send one PCM chunk (float/int samples at 16 kHz) and read the
-        reply; returns (one-best text, end_flag)."""
+        reply; returns (one-best text, end_flag).  With ``ali_info`` the
+        per-word time spans of the reply are kept on ``self.last_align``
+        as [(word, begin_s, end_s)] (ref AlignTime parse,
+        src/client/py-client/asr-client-api.cc:119-126)."""
         pcm = np.asarray(samples).astype("<i2").tobytes()
-        rc = self._l.asr_send_pack(self._fd, pcm, len(pcm),
-                                   int(self._seq == 0), int(eos),
-                                   int(nbest), 0, self._seq)
+        rc = self._l.asr_send_pack_ex(self._fd, pcm, len(pcm),
+                                      int(self._seq == 0), int(eos),
+                                      int(nbest), 0, int(ali_info), 0,
+                                      self._seq)
         if rc != 0:
             raise ConnectionError("send failed")
         self._seq += 1
         buf = ctypes.create_string_buffer(1 << 16)
+        abuf = ctypes.create_string_buffer(1 << 16)
         end = ctypes.c_int(0)
-        nres = self._l.asr_get_result(self._fd, buf, len(buf),
-                                      ctypes.byref(end))
+        nres = self._l.asr_get_result_align(self._fd, buf, len(buf),
+                                            ctypes.byref(end), abuf,
+                                            len(abuf))
         if nres < 0:
             raise ConnectionError("receive failed")
+        self.last_align = [
+            (w, float(b), float(e))
+            for w, b, e in (line.split("\t") for line in
+                            abuf.value.decode("utf-8").splitlines() if line)]
         return buf.value.decode("utf-8"), int(end.value)
 
     def decode_utterance(self, wave: np.ndarray, chunk: int = 4000,

@@ -146,7 +146,14 @@ class NbestResult:
 @dataclass
 class S2CPackage:
     """Server→client result (ref: S2CPackageHead + payloads,
-    net-data-package.h:561-755)."""
+    net-data-package.h:561-755).
+
+    ``align``: per-word time spans [(word_text, begin_s, end_s)] — the
+    reference's AlignTime payload (ref: net-data-package.h:210
+    ``vector<pair<string, pair<float,float>>>``), present iff ``ali_info``.
+    The align section is packed after the n-best results and before the
+    lattice, so clients that ignore trailing payloads stay compatible.
+    """
     end_flag: EndFlag = EndFlag.NOEND
     do_rescore: bool = False
     do_punctuate: bool = False
@@ -154,6 +161,7 @@ class S2CPackage:
     score_info: bool = False
     lattice: bytes = b""          # serialized lattice (optional)
     results: list[NbestResult] = field(default_factory=list)
+    align: list[tuple[str, float, float]] = field(default_factory=list)
 
     HEAD = struct.Struct("<IBBBBBBI")  # magic, flags..., nres
 
@@ -167,6 +175,11 @@ class S2CPackage:
             out.append(struct.pack("<ff", r.graph_cost, r.am_cost))
             out.append(struct.pack("<I", len(r.words)))
             out.append(np.asarray(r.words, "<i4").tobytes())
+        if self.ali_info:
+            out.append(struct.pack("<I", len(self.align)))
+            for word, b, e in self.align:
+                out.append(_pack_str(word))
+                out.append(struct.pack("<ff", b, e))
         if self.lattice:
             out.append(struct.pack("<I", len(self.lattice)))
             out.append(self.lattice)
@@ -189,13 +202,22 @@ class S2CPackage:
             words = np.frombuffer(buf, "<i4", nw, off).tolist()
             off += 4 * nw
             results.append(NbestResult(text, g, a, words))
+        align: list[tuple[str, float, float]] = []
+        if ali:
+            (na,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            for _ in range(na):
+                word, off = _unpack_str(buf, off)
+                b, e = struct.unpack_from("<ff", buf, off)
+                off += 8
+                align.append((word, b, e))
         lattice = b""
         if has_lat:
             (n,) = struct.unpack_from("<I", buf, off)
             off += 4
             lattice = bytes(buf[off:off + n])
         return cls(EndFlag(end), bool(resc), bool(punc), bool(ali),
-                   bool(score), lattice, results)
+                   bool(score), lattice, results, align)
 
     def one_best(self) -> str:
         return self.results[0].text if self.results else ""

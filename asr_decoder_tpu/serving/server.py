@@ -59,6 +59,11 @@ class SocketConfig:
         False, "Set do_rescore on final replies that carry a lattice, "
                "telling clients to forward it to the post-processing "
                "service (ref S2C do_rescore)")
+    result_workers: int = flag(
+        2, "Threads for heavy result building (traceback/lattice/"
+           "determinize/n-best) so one client's expensive final never "
+           "stalls the device loop (ref: result work isolated from decode "
+           "threads, src/post-processing-service/)")
     keepalive: bool = flag(True, "Enable TCP keepalive on connections")
     keep_idle: int = flag(120, "TCP_KEEPIDLE seconds")
     keep_interval: int = flag(10, "TCP_KEEPINTVL seconds")
@@ -88,6 +93,12 @@ class AsrServer:
         # dispatch) runs here; batching happens inside the dispatch
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="device")
+        # result executor: heavy result building runs over immutable
+        # channel snapshots here, so a slow lattice/n-best final on one
+        # channel never blocks other channels' dispatches
+        self._result_pool = ThreadPoolExecutor(
+            max_workers=max(1, self.config.result_workers),
+            thread_name_prefix="results")
         self._batcher = BatchedStreamingDecoder(info,
                                                 self.config.num_channels)
         self._chan_sem = asyncio.Semaphore(self.config.num_channels)
@@ -102,6 +113,10 @@ class AsrServer:
     async def _run(self, fn, *args):
         return await asyncio.get_running_loop().run_in_executor(
             self._pool, fn, *args)
+
+    async def _run_result(self, fn, *args):
+        return await asyncio.get_running_loop().run_in_executor(
+            self._result_pool, fn, *args)
 
     # -- lifecycle ---------------------------------------------------------
     async def start(self) -> tuple[str, int]:
@@ -122,6 +137,7 @@ class AsrServer:
             self._server.close()
             await self._server.wait_closed()
         self._pool.shutdown(wait=True)
+        self._result_pool.shutdown(wait=True)
 
     async def serve_forever(self) -> None:
         await self.start()
@@ -184,6 +200,12 @@ class AsrServer:
         stats = UttStats()
         sr = 16000
         strikes = 0
+        # endpoint-accumulated result state: text/align of completed
+        # segments is prepended to later replies (ref: the v1 worker's
+        # _best_result accumulation, kaldi-v1-asr-online.h:795-840)
+        prefix_words: list[int] = []
+        prefix_align: list = []
+        prefix_frames = 0
         try:
             while True:
                 try:
@@ -213,6 +235,7 @@ class AsrServer:
                     self._chan_events[cid] = asyncio.Event()
                     stats = UttStats()
                     sr = pkg.sample_rate.hz
+                    prefix_words, prefix_align, prefix_frames = [], [], 0
                 samples = pkg.samples()
                 stats.wav_seconds += len(samples) / sr
                 t0 = time.monotonic()
@@ -221,8 +244,13 @@ class AsrServer:
                 await self._pump(cid)
                 endpoint = (not pkg.end_flag
                             and self._batcher.endpoint_detected(cid))
-                reply = await self._run(self._results, cid, pkg,
-                                        bool(pkg.end_flag) or endpoint)
+                # snapshot under the device writer, build results off it:
+                # heavy finals never stall other channels' dispatches
+                snap = await self._run(self._batcher.snapshot, cid)
+                reply, seg_words, seg_align = await self._run_result(
+                    self._results, snap, pkg,
+                    bool(pkg.end_flag) or endpoint,
+                    prefix_words, prefix_align, prefix_frames)
                 stats.work_seconds += time.monotonic() - t0
                 writer.write(frame_s2c(reply))
                 await writer.drain()
@@ -235,8 +263,13 @@ class AsrServer:
                     await self._close_channel(cid)
                     cid = None
                 elif endpoint:
-                    # mid-stream endpoint: restart search, keep stream
-                    # (ref: MIDDLEEND + InitDecoding(frame_offset))
+                    # mid-stream endpoint: restart search, keep stream;
+                    # fold the finished segment into the reply prefix
+                    # (ref: MIDDLEEND + InitDecoding(frame_offset) +
+                    # _best_result accumulation)
+                    prefix_words = prefix_words + seg_words
+                    prefix_align = prefix_align + seg_align
+                    prefix_frames += snap.frames_decoded
                     await self._run(self._batcher.init_decoding, cid)
         finally:
             if cid is not None:
@@ -252,30 +285,67 @@ class AsrServer:
         self._chan_events.pop(cid, None)
         self._chan_sem.release()
 
-    def _results(self, cid: int, pkg: C2SPackage, final: bool) -> S2CPackage:
-        """Build the S2C reply (ref: v2-asr-task.h SendDataAndGetResult)."""
+    def _results(self, snap, pkg: C2SPackage, final: bool,
+                 prefix_words: list[int], prefix_align: list,
+                 prefix_frames: int
+                 ) -> tuple[S2CPackage, list[int], list]:
+        """Build the S2C reply from a channel snapshot (ref:
+        v2-asr-task.h SendDataAndGetResult).  Runs on the result pool —
+        only touches the immutable snapshot, never live channel state.
+        Returns (reply, segment_words, segment_align) so the caller can
+        fold finished segments into the prefix at endpoints."""
         end = (EndFlag.END if pkg.end_flag
                else EndFlag.MIDDLEEND if final else EndFlag.NOEND)
         reply = S2CPackage(end_flag=end)
+        prefix_text = " ".join(self.info.words.words(prefix_words))
+
+        def with_prefix(text: str) -> str:
+            return f"{prefix_text} {text}".strip() if prefix_text else text
+
+        best = self._batcher.get_best_path_from(snap)
+        seg_words = list(best.get("words", []))
         n = max(1, pkg.nbest) if final else 1
         if final and pkg.nbest > 1:
-            for r in self._batcher.get_nbest(cid, n):
+            for r in self._batcher.get_nbest_from(snap, n):
                 reply.results.append(NbestResult(
-                    r["text"], r["graph_cost"], r["am_cost"], r["words"]))
+                    with_prefix(r["text"]), r["graph_cost"], r["am_cost"],
+                    prefix_words + r["words"]))
         if not reply.results:
-            best = self._batcher.get_best_path(cid)
             reply.results.append(NbestResult(
-                " ".join(self.info.words.words(best.get("words", []))),
-                best.get("cost", 0.0), 0.0, best.get("words", [])))
+                with_prefix(" ".join(self.info.words.words(seg_words))),
+                best.get("cost", 0.0), 0.0, prefix_words + seg_words))
+        if best.get("overflowed"):
+            # BigLM lm_lanes overflow dropped word candidates for this
+            # utterance: never silent (ref never drops,
+            # online-decoder-mempool-base-biglm.h:316-402)
+            LOG.warning("biglm lm_lanes overflow on this utterance: "
+                        "results may be inexact (raise lm_lanes)")
+        seg_align: list = []
+        if pkg.ali_info and self.info.fst is not None:
+            # per-word time spans (ref AlignTime, net-data-package.h:210)
+            from asr_decoder_tpu.align.word_align import (spans_to_align,
+                                                          word_spans)
+            spans = word_spans(best.get("arc_ids", []),
+                               self.info.fst.arc_ilabel,
+                               self.info.fst.arc_olabel, prefix_frames)
+            seg_align = spans_to_align(spans, self.info.words,
+                                       self.info.seconds_per_frame)
+            reply.align = prefix_align + seg_align
+            reply.ali_info = True
+        if pkg.score_info:
+            # per-result (graph, acoustic) costs already ride every
+            # NbestResult; the flag marks them as requested (ref score
+            # payload, net-data-package.h:561-755)
+            reply.score_info = True
         if final and pkg.lattice:
-            lat = self._batcher.get_lattice(cid, determinize=True)
+            lat = self._batcher.get_lattice_from(snap, determinize=True)
             if lat is not None:
                 # binary lattice payload — feeds the post-processing
                 # (rescore) service (ref S2C lattice + do_rescore flow,
                 # net-data-package.h:561-755)
                 reply.lattice = lat.to_bytes()
                 reply.do_rescore = self.config.advertise_rescore
-        return reply
+        return reply, seg_words, seg_align
 
 
 def run_server(info: OnlineDecoderInfo,

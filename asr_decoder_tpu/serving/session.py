@@ -193,6 +193,16 @@ class OnlineDecoderInfo:
             self.am_layers = layers
         self.left, self.right = nnet.context()
 
+    @property
+    def seconds_per_frame(self) -> float:
+        """Wall seconds per *scored* frame: the frontend frame shift times
+        the subsampling factor when plain ``skip`` drops frames before the
+        search (in ``skip_copy`` mode every frame is scored)."""
+        spf = self.fbank_config.frame_shift_ms / 1000.0
+        if self.am_config.skip and not self.am_config.skip_copy:
+            spf *= self.am_config.skip + 1
+        return spf
+
     def make_frontend(self, batch: int = 1):
         """Composed streaming frontend for one session/channel:
         fbank (+CMVN) (‖ pitch) (+ deltas)."""
@@ -353,6 +363,24 @@ class OnlineDecoderSession:
     def get_best_path_txt(self) -> str:
         res = self.get_best_path()
         return " ".join(self.info.words.words(res.get("words", [])))
+
+    def get_word_alignment(self, frame_offset: int = 0
+                           ) -> list[tuple[str, float, float]]:
+        """Per-word time spans [(word, begin_s, end_s)] of the best path —
+        the AlignTime result (ref: net-data-package.h:210, client parse
+        src/client/py-client/asr-client-api.cc:119-126)."""
+        from asr_decoder_tpu.align.word_align import (spans_to_align,
+                                                      word_spans)
+        fst = self.info.fst
+        if fst is None:
+            raise RuntimeError(
+                "word alignment needs an arc-labeled StdFst graph "
+                "(hclg/biglm-hclg)")
+        res = self.get_best_path()
+        spans = word_spans(res.get("arc_ids", []), fst.arc_ilabel,
+                           fst.arc_olabel, frame_offset)
+        return spans_to_align(spans, self.info.words,
+                              self.info.seconds_per_frame)
 
     def get_lattice(self, determinize: bool = True):
         """Raw (or determinized) lattice of the utterance so far — every

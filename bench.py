@@ -110,6 +110,43 @@ def main(quick: bool = False, profile_dir: str | None = None):
 
     audio_s = batch * secs
     audio_s_per_s = audio_s / dt
+
+    # production-scale operating point (ref conf: multi-million-state HCLG
+    # at max-active 7000, src/v1-asrbin/conf/decoder.conf): a ≥2M-state /
+    # ≥10M-arc graph decoded at max_active 4096, with the graph load timed
+    # (build + ε-closure + device upload)
+    prod = None
+    if not quick:
+        rng2 = np.random.default_rng(1)
+        t0 = time.perf_counter()
+        fst2 = random_hclg(rng2, num_states=2_000_000,
+                           num_ilabels=num_pdfs)
+        t_gen = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dev2 = DeviceFst.build(fst2, arc_lanes=8)
+        cfg2 = DecoderConfig(beam=14.0, beam_width=4096, arc_lanes=8,
+                             max_active=4096, min_active=200,
+                             eps_mode="closure")
+        search2 = TpuBeamSearch(dev2, ilabel2pdf, cfg2)
+        t_load = time.perf_counter() - t0
+        bp = 32
+        ll2 = jnp.asarray(
+            rng2.standard_normal((bp, ll.shape[1], num_pdfs)) * 3,
+            jnp.float32)
+        st2, _ = search2.init_state(bp)
+        t_s2 = _time(lambda l: search2.advance(st2, l)[0], ll2, iters=iters)
+        prod_audio_s = bp * secs
+        prod = {
+            "graph_states": int(dev2.num_states),
+            "graph_arcs": int(fst2.num_arcs),
+            "max_active": cfg2.max_active,
+            "batch": bp,
+            "search_audio_s_per_s": round(prod_audio_s / t_s2, 1),
+            "search_ms": round(t_s2 * 1e3, 1),
+            "graph_gen_s": round(t_gen, 1),
+            "graph_load_s": round(t_load, 1),
+        }
+
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(audio_s_per_s, 2),
@@ -124,6 +161,7 @@ def main(quick: bool = False, profile_dir: str | None = None):
             "am_ms": round(t_am * 1e3, 1),
             "search_ms": round(t_search * 1e3, 1),
             "frames": int(ll.shape[1]),
+            "production": prod,
         },
     }))
 

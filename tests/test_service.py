@@ -154,6 +154,144 @@ def test_server_batched_arena_16_clients(info):
     assert chunks / max(dispatches, 1) >= 3.0, (chunks, dispatches)
 
 
+def test_word_spans_unit():
+    """word_spans: olabel arcs open word-start-anchored spans; frames are
+    counted over nonzero-ilabel arcs."""
+    from asr_decoder_tpu.align.word_align import word_spans
+    #        arc:    0    1    2    3    4    5
+    ilabel = np.array([0, 3, 4, 0, 5, 6])
+    olabel = np.array([0, 7, 0, 8, 0, 0])
+    spans = word_spans([0, 1, 2, 3, 4, 5], ilabel, olabel)
+    # word 7 at arc1 (frame 0); word 8 at arc3 (2 frames consumed);
+    # last word runs to the end (4 frames total)
+    assert spans == [(7, 0, 2), (8, 2, 4)]
+    # frame_offset shifts everything (endpoint-resumed segments)
+    spans = word_spans([0, 1, 2, 3, 4, 5], ilabel, olabel, frame_offset=10)
+    assert spans == [(7, 10, 12), (8, 12, 14)]
+
+
+def test_server_align_payload(info):
+    """ali_info=1 returns per-word time spans in S2C (ref AlignTime,
+    net-data-package.h:210): words match the 1-best, spans are
+    non-overlapping and monotone."""
+    wave = make_wave(21)
+    sess = OnlineDecoderSession(info)
+    sess.process_data(wave, eos=True)
+    want_align = sess.get_word_alignment()
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0, num_channels=2))
+        host, port = await server.start()
+        try:
+            client = AsyncAsrClient(host, port)
+            await client.connect()
+            reply = await client.decode_utterance(
+                wave.astype(np.int16), ali_info=True, score_info=True)
+            await client.close()
+            return reply
+        finally:
+            await server.stop()
+
+    reply = asyncio.run(run())
+    assert reply.ali_info and reply.score_info
+    assert [w for w, _, _ in reply.align] == reply.one_best().split()
+    assert reply.align == [(w, pytest.approx(b), pytest.approx(e))
+                           for w, b, e in want_align]
+    last_end = 0.0
+    for _, b, e in reply.align:
+        assert b >= last_end - 1e-6 and e >= b
+        last_end = e
+
+
+def test_server_slow_final_does_not_stall_other_channels(info):
+    """A slow result build on one channel must not block another channel's
+    streaming partials (the reference isolates result/rescore work from
+    decode threads, ref src/post-processing-service/)."""
+    import time as _time
+    wave = make_wave(5, n=16000)
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0, num_channels=4,
+                                              result_workers=2))
+        host, port = await server.start()
+        real_results = server._results
+
+        def slow_results(snap, pkg, final, pw, pa, pf):
+            if final:
+                _time.sleep(1.0)
+            return real_results(snap, pkg, final, pw, pa, pf)
+
+        server._results = slow_results
+        try:
+            slow = AsyncAsrClient(host, port)
+            fast = AsyncAsrClient(host, port)
+            await slow.connect()
+            await fast.connect()
+            pcm = wave.astype(np.int16)
+            # stream the slow client up to its (sleeping) final...
+            for off in range(0, 12000, 4000):
+                await slow.send_chunk(pcm[off:off + 4000])
+            final_task = asyncio.ensure_future(
+                slow.send_chunk(pcm[12000:], end=True))
+            await asyncio.sleep(0.1)   # let the slow final start sleeping
+            # ...the fast client's partials must still flow promptly
+            t0 = _time.monotonic()
+            await fast.send_chunk(pcm[:4000])
+            fast_latency = _time.monotonic() - t0
+            await final_task
+            await fast.send_chunk(pcm[4000:], end=True)
+            await slow.close()
+            await fast.close()
+            return fast_latency
+        finally:
+            await server.stop()
+
+    fast_latency = asyncio.run(run())
+    assert fast_latency < 0.8, f"partial stalled {fast_latency:.2f}s " \
+        "behind a slow final"
+
+
+def test_server_endpoint_accumulates_text(info):
+    """After a MIDDLEEND endpoint restart, later replies must carry the
+    accumulated text of earlier segments (ref: the v1 worker's
+    _best_result accumulation, kaldi-v1-asr-online.h:795-840)."""
+    from test_session import make_info as mk
+    vad_info = mk(use_energy_vad=True, endpoint_sil_frames=20,
+                  min_endpoint_frames=10)
+    rng = np.random.default_rng(11)
+    loud1 = (rng.standard_normal(8000) * 4000).astype(np.float32)
+    sil = np.zeros(8000, np.float32)
+    loud2 = (rng.standard_normal(8000) * 4000).astype(np.float32)
+    wave = np.concatenate([loud1, sil, loud2])
+
+    async def run():
+        server = AsrServer(vad_info, SocketConfig(port=0, num_channels=2))
+        host, port = await server.start()
+        try:
+            client = AsyncAsrClient(host, port)
+            await client.connect()
+            pcm = wave.astype(np.int16)
+            replies = []
+            for off in range(0, len(pcm), 4000):
+                end = off + 4000 >= len(pcm)
+                replies.append(await client.send_chunk(pcm[off:off + 4000],
+                                                       end=end))
+            await client.close()
+            return replies
+        finally:
+            await server.stop()
+
+    replies = asyncio.run(run())
+    middle = [r for r in replies if r.end_flag == EndFlag.MIDDLEEND]
+    assert middle, "no endpoint fired (tune VAD thresholds)"
+    seg1_text = middle[0].one_best()
+    final_text = replies[-1].one_best()
+    assert replies[-1].end_flag == EndFlag.END
+    if seg1_text:
+        # the final reply carries segment-1 text plus whatever followed
+        assert final_text.startswith(seg1_text)
+
+
 def test_native_client_end_to_end(info):
     """The C++ client library (native/asr_client.cc via ctypes, mirroring
     the reference's libclient.so + py-client, ref
@@ -179,10 +317,19 @@ def test_native_client_end_to_end(info):
         try:
             def client_work():
                 with NativeAsrClient(host, port) as c:
-                    return c.decode_utterance(wave.astype(np.int16))
+                    text = c.decode_utterance(wave.astype(np.int16))
+                with NativeAsrClient(host, port) as c:
+                    # align parse path (ref AlignTime client parse,
+                    # src/client/py-client/asr-client-api.cc:119-126)
+                    t2, end = c.send_chunk(wave.astype(np.int16), eos=True,
+                                           ali_info=True)
+                    return text, t2, end, c.last_align
             return await asyncio.to_thread(client_work)
         finally:
             await server.stop()
 
-    got = asyncio.run(run())
+    got, t2, end, align = asyncio.run(run())
     assert got == want_best
+    assert t2 == want_best and end == 2
+    assert [w for w, _, _ in align] == want_best.split() if want_best \
+        else align == []
