@@ -85,17 +85,36 @@ def resample_linear(x: np.ndarray, rate: int, target: int) -> np.ndarray:
     return (x[i0] * (1.0 - frac) + x[i1] * frac).astype(np.float32)
 
 
-def decode_opus(data: bytes) -> tuple[np.ndarray, int]:
-    """Opus decode — available only when an opus decoder module is
-    importable (mirrors the reference's optional FFmpeg build,
-    ref: src/audio-convert/makefile)."""
-    try:
-        import opuslib  # noqa: F401  (not in this image; gate, don't fake)
-    except ImportError as e:
+def ffmpeg_available() -> bool:
+    import shutil
+    return shutil.which("ffmpeg") is not None
+
+
+def decode_ffmpeg(data: bytes, target_rate: int = 16000) -> tuple[
+        np.ndarray, int]:
+    """Any-container decode via an ffmpeg subprocess — the reference's
+    optional FFmpeg transcode path (ref: src/audio-convert/stream2pcm.h:
+    46-118 avcodec decode loop; optional build, src/audio-convert/
+    makefile).  Emits mono s16le at ``target_rate``."""
+    import subprocess
+    if not ffmpeg_available():
         raise AudioDecodeError(
-            "opus payload but no opus decoder installed (the reference "
-            "gates this behind an optional FFmpeg build too)") from e
-    raise AudioDecodeError("opus decode path not implemented")
+            "compressed payload but no ffmpeg on PATH (the reference "
+            "gates this behind an optional FFmpeg build too)")
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "s16le",
+         "-acodec", "pcm_s16le", "-ac", "1", "-ar", str(target_rate),
+         "pipe:1"],
+        input=data, capture_output=True, timeout=120)
+    if proc.returncode != 0 or not proc.stdout:
+        err = proc.stderr.decode(errors="replace")[:200]
+        raise AudioDecodeError(f"ffmpeg decode failed: {err}")
+    return np.frombuffer(proc.stdout, "<i2").astype(np.float32), target_rate
+
+
+def decode_opus(data: bytes) -> tuple[np.ndarray, int]:
+    """Opus (ogg-container) decode via the optional ffmpeg path."""
+    return decode_ffmpeg(data)
 
 
 def decode_audio(data: bytes, audio_type=None, *, dtype_short: bool = True,

@@ -54,6 +54,31 @@ def test_wav_parse_and_resample(tmp_path):
         parse_wav(b"nonsense" * 10)
 
 
+def test_opus_ffmpeg_path(tmp_path):
+    """Opus ingress mirrors the reference's optional-FFmpeg transcode
+    (ref: src/audio-convert/stream2pcm.h:46-118): round-trips when ffmpeg
+    is on PATH, raises a clean gated error otherwise."""
+    from asr_decoder_tpu.frontend.audio import decode_opus, ffmpeg_available
+    if not ffmpeg_available():
+        with pytest.raises(AudioDecodeError, match="ffmpeg"):
+            decode_opus(b"OggS-fake-opus-payload")
+        return
+    import subprocess
+    x = (np.sin(np.arange(16000) * 0.05) * 9000).astype(np.int16)
+    wav = tmp_path / "a.wav"
+    write_wav(wav, x)
+    ogg = tmp_path / "a.ogg"
+    subprocess.run(["ffmpeg", "-v", "error", "-i", str(wav),
+                    "-c:a", "libopus", str(ogg)], check=True)
+    got, rate = decode_opus(ogg.read_bytes())
+    assert rate == 16000
+    assert len(got) > 12000          # ~1 s of audio survived the codec
+    # the decoded waveform correlates strongly with the original tone
+    n = min(len(got), len(x))
+    c = np.corrcoef(got[:n], x[:n].astype(np.float32))[0, 1]
+    assert abs(c) > 0.5
+
+
 def test_decode_cli_end_to_end(tmp_path, capsys):
     """decode main ≡ kaldi-my-decoder: model+graph+words+wavlist from
     files → per-utt text + RTF + WER report."""

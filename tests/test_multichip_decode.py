@@ -5,6 +5,7 @@ reference's thread-pool request parallelism, src/service2/thread-pool.h:33,
 to utterance-batch data parallelism across chips)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -65,3 +66,82 @@ def test_dp_sharded_arena_matches_unsharded():
     for w, g in zip(want, got):
         assert g["cost"] == pytest.approx(w["cost"], abs=1e-4)
         assert g["words"] == w["words"]
+
+
+def test_tp_sharded_am_decode_matches_unsharded():
+    """Inference through a tp-sharded AM (weights split over the tp axis,
+    SURVEY §7 "AM sharded over model axis") must produce the same
+    posteriors and the same decode as the unsharded AM."""
+    from asr_decoder_tpu.models.layers import init_layer_state
+    from asr_decoder_tpu.models.nnet import am_forward
+    from asr_decoder_tpu.parallel.mesh import shard_batch, shard_model
+
+    info = make_info(seed=5)
+    layers = info.am_layers
+    rng = np.random.default_rng(2)
+    B, T = 8, 24
+    D = layers[0].input_dim
+    feats = (rng.standard_normal((B, T, D)) * 2).astype(np.float32)
+    state = [init_layer_state(l, B) for l in layers]
+    ll0, _ = am_forward(layers, jnp.asarray(feats), state)
+
+    mesh = make_mesh(jax.devices()[:8], tp=2)        # dp=4 × tp=2
+    with mesh:
+        sh_layers = shard_model(mesh, layers)
+        feats_sh = shard_batch(mesh, jnp.asarray(feats))
+        state_sh = [jax.tree.map(
+            lambda a: jax.device_put(a, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(
+                    "dp", *([None] * (a.ndim - 1))))), s) for s in state]
+        ll1, _ = am_forward(sh_layers, feats_sh, state_sh)
+    np.testing.assert_allclose(np.asarray(ll1), np.asarray(ll0),
+                               rtol=1e-5, atol=1e-5)
+
+    # and the decode over the tp-produced posteriors matches exactly
+    search = info.search
+    st0, il0, lg0 = search.decode(np.asarray(ll0))
+    want = search.traceback(st0, il0, lg0, info.fst)
+    st1, il1, lg1 = search.decode(np.asarray(ll1))
+    got = search.traceback(st1, il1, lg1, info.fst)
+    for w, g in zip(want, got):
+        assert g["words"] == w["words"]
+        assert g["cost"] == pytest.approx(w["cost"], abs=1e-4)
+
+
+def test_multihost_skeleton_per_host_arenas():
+    """The multi-host serving topology (BASELINE config 5), simulated on
+    one process: N independent per-host arenas over disjoint device
+    groups decode identically to plain sessions, and one 'host' losing
+    its arena does not disturb another host's channels (host-loss
+    isolation, parallel/multihost.py)."""
+    from asr_decoder_tpu.parallel.multihost import (MultihostContext,
+                                                    init_multihost,
+                                                    partition_hosts,
+                                                    simulated_host_arenas)
+    from asr_decoder_tpu.serving.session import OnlineDecoderSession
+
+    ctx = init_multihost()            # single-process no-op path
+    assert isinstance(ctx, MultihostContext) and ctx.is_primary
+    groups = partition_hosts(jax.devices()[:8], 2)
+    assert [len(g) for g in groups] == [4, 4]
+    assert not set(map(id, groups[0])) & set(map(id, groups[1]))
+
+    info = make_info(seed=9)
+    wave_a, wave_b = make_wave(31, n=9000), make_wave(32, n=9000)
+    want = []
+    for w in (wave_a, wave_b):
+        s = OnlineDecoderSession(info)
+        s.process_data(w, eos=True)
+        want.append(s.get_best_path())
+
+    arenas = simulated_host_arenas(lambda: make_info(seed=9), 2,
+                                   num_channels=4)
+    cids = [a.acquire() for a in arenas]
+    for arena, cid, w in zip(arenas, cids, (wave_a, wave_b)):
+        arena.push(cid, w, eos=True)
+    # "host 0 dies" mid-stream of host 1: host 1 drains unaffected
+    arenas[0] = None
+    arenas[1].drain()
+    got_b = arenas[1].get_best_path(cids[1])
+    assert got_b["words"] == want[1]["words"]
+    assert got_b["cost"] == pytest.approx(want[1]["cost"], abs=1e-4)
