@@ -26,13 +26,22 @@ from asr_decoder_tpu.fst.fst import StdFst
 
 def build_ctc_decode_graph(
         lexicon: dict[int, list[int]], word_costs: dict[int, float],
-        num_phones: int) -> tuple[StdFst, np.ndarray]:
+        num_phones: int,
+        share_prefixes: bool = False) -> tuple[StdFst, np.ndarray]:
     """(StdFst, ilabel2pdf) for a CTC word-loop decode graph.
 
     ``lexicon``: word id (≥1) → phone id sequence (ids in 1..num_phones,
     no two equal adjacent phones — CTC cannot separate them without an
     intra-word blank state, which this topology omits).
     ``word_costs``: word id → cost (e.g. −log unigram prob).
+
+    ``share_prefixes``: build L as a phone trie (deterministic lexicon,
+    the shape a determinized TLG has): common prefixes share states, the
+    root's out-degree is ≤ num_phones instead of ≤ num_words, and the
+    word olabel + cost move to the exit arc (olabel-pushed-late).  Use
+    for large vocabularies — the flat per-word chains otherwise give the
+    root a num_words out-degree that the lane-splitting rewrite turns
+    into a deep ε-chain.
     """
     blank_il = num_phones + 1
     src, il, ol, w, dst = [], [], [], [], []
@@ -47,6 +56,7 @@ def build_ctc_decode_graph(
         dst.append(b)
 
     arc(s0, s0, blank_il, 0, 0.0)              # inter-word blank
+    trie: dict[tuple[int, int], int] = {}      # (state, phone) -> state
     for word, phones in sorted(lexicon.items()):
         assert all(1 <= p <= num_phones for p in phones), (word, phones)
         assert all(a != b for a, b in zip(phones, phones[1:])), \
@@ -54,13 +64,24 @@ def build_ctc_decode_graph(
         cost = float(word_costs.get(word, 0.0))
         cur = s0
         for j, p in enumerate(phones):
+            if share_prefixes and (cur, p) in trie:
+                cur = trie[(cur, p)]
+                continue
             n = nxt
             nxt += 1
-            arc(cur, n, p, word if j == 0 else 0, cost if j == 0 else 0.0)
+            if share_prefixes:
+                arc(cur, n, p, 0, 0.0)
+                trie[(cur, p)] = n
+            else:
+                arc(cur, n, p, word if j == 0 else 0,
+                    cost if j == 0 else 0.0)
             arc(n, n, p, 0, 0.0)               # repeat-frame collapse
             arc(n, n, blank_il, 0, 0.0)        # in-word blank
             cur = n
-        arc(cur, s0, 0, 0, 0.0)                # word exit (ε)
+        if share_prefixes:                     # word exit (ε) carries the
+            arc(cur, s0, 0, word, cost)        # olabel + LM cost
+        else:
+            arc(cur, s0, 0, 0, 0.0)            # word exit (ε)
     fst = StdFst.from_final_weights(
         nxt, s0, np.array(src), np.array(il, np.int32),
         np.array(ol, np.int32), np.array(w, np.float32),

@@ -42,17 +42,30 @@ def _llg_kernel(tab_ref, idx_ref, out_ref, *, nb, nc):
 @partial(jax.jit, static_argnums=(2,))
 def _pallas_gather(table, idx, interpret: bool):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     B, V = table.shape
     N = idx.shape[1]
+    # tile the batch so the per-call VMEM block (table + idx + out rows)
+    # stays within scoped-vmem limits at any B (a 512-channel arena blew
+    # the whole-array kernel at 23 MB scoped vmem)
+    # Mosaic double-buffers each block, so budget ~2×block ≤ ~6 MB
+    row_bytes = (V + 2 * N) * 4
+    bb = max(8, min(B, 128, (3 << 20) // row_bytes // 8 * 8 or 8))
+    if B % bb:
+        pad = bb - B % bb
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+    Bp = table.shape[0]
     kernel = partial(_llg_kernel, nb=N // _LANES, nc=V // _LANES)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N), table.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, N), table.dtype),
+        grid=(Bp // bb,),
+        in_specs=[pl.BlockSpec((bb, V), lambda i: (i, 0)),
+                  pl.BlockSpec((bb, N), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((bb, N), lambda i: (i, 0)),
         interpret=interpret,
     )(table, idx)
+    return out[:B] if Bp != B else out
 
 
 def _xla_gather(table, idx):

@@ -24,9 +24,14 @@ from asr_decoder_tpu.parallel.mesh import (data_sharding, replicated,
 def shard_search(mesh: Mesh, search) -> None:
     """Replicate the search's device graph tables onto every mesh device
     (the read-only shared model state, ref: per-thread shared AM/graph in
-    V1AsrSource, src/v1-asrbin/v1-asr-service.cc:91-102)."""
+    V1AsrSource, src/v1-asrbin/v1-asr-service.cc:91-102).  The BigLM
+    variant's device n-gram LM tables replicate the same way."""
     search.graph = type(search.graph)(*(
         jax.device_put(a, replicated(mesh)) for a in search.graph))
+    tabs = getattr(search, "_lm_tabs", None)
+    if tabs is not None:
+        search._lm_tabs = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, replicated(mesh)), tabs)
 
 
 def shard_beam_state(mesh: Mesh, state):

@@ -59,7 +59,10 @@ def main(quick: bool = False, profile_dir: str | None = None):
     rng = np.random.default_rng(0)
     sr = 16000
     secs = 8.0
-    batch = 128 if not quick else 4
+    # 256 concurrent streams per chip: measured batch-scaling sweet spot
+    # (fixed per-dispatch costs amortize: 1985 → 2895 search audio-s/s
+    # going 128 → 256; 512 adds only +8% more)
+    batch = 256 if not quick else 4
     num_pdfs = 2048
     skip = 2  # frame-subsampling-factor 3 (ref conf)
 
@@ -147,6 +150,54 @@ def main(quick: bool = False, profile_dir: str | None = None):
             "graph_load_s": round(t_load, 1),
         }
 
+    # bench realism: a REAL-topology decode graph (trie TLG over a
+    # 30k-word lexicon — blank/repeat self-loops, ε word exits, shared
+    # prefixes) decoded over REALISTIC posteriors (template-score
+    # log-softmax: peaked, near-tied) at a production-ish operating point
+    realistic = None
+    if not quick:
+        from asr_decoder_tpu.eval.synth_task import SynthTask
+        from asr_decoder_tpu.fst.ctc_graph import build_ctc_decode_graph
+        task = SynthTask(num_phones=40, num_words=30_000, feat_dim=24,
+                         seed=0)
+        t0 = time.perf_counter()
+        fst3, i2p3 = build_ctc_decode_graph(task.lexicon, task.word_costs,
+                                            task.num_phones,
+                                            share_prefixes=True)
+        dev3 = DeviceFst.build(fst3, arc_lanes=16)
+        cfg3 = DecoderConfig(beam=14.0, beam_width=1024, arc_lanes=16,
+                             max_active=1024, min_active=200,
+                             eps_mode="closure")
+        search3 = TpuBeamSearch(dev3, np.asarray(i2p3, np.int32), cfg3)
+        t_load3 = time.perf_counter() - t0
+        rng3 = np.random.default_rng(7)
+        Br, Tr = 64, 160
+        lls3 = np.zeros((Br, Tr, task.num_phones + 1), np.float32)
+        for b in range(Br):
+            while True:
+                _, _, feats = task.sample_utterance(rng3)
+                if len(feats) <= Tr:
+                    break
+            sc = feats @ task.templates.T
+            lp = sc - np.log(np.exp(sc).sum(axis=1, keepdims=True))
+            lls3[b, :len(lp)] = lp
+            lls3[b, len(lp):] = lp[-1]
+        lls3 = jnp.asarray(lls3)
+        st3, _ = search3.init_state(Br)
+        t_s3 = _time(lambda l: search3.advance(st3, l)[0], lls3,
+                     iters=iters)
+        realistic = {
+            "graph_states": int(dev3.num_states),
+            "graph_arcs": int(fst3.num_arcs),
+            "vocab": 30_000,
+            "max_active": cfg3.max_active,
+            "batch": Br,
+            "posteriors": "template-softmax",
+            "search_audio_s_per_s": round(Br * Tr / 100.0 / t_s3, 1),
+            "search_ms": round(t_s3 * 1e3, 1),
+            "graph_load_s": round(t_load3, 1),
+        }
+
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(audio_s_per_s, 2),
@@ -162,6 +213,7 @@ def main(quick: bool = False, profile_dir: str | None = None):
             "search_ms": round(t_search * 1e3, 1),
             "frames": int(ll.shape[1]),
             "production": prod,
+            "realistic": realistic,
         },
     }))
 

@@ -145,3 +145,36 @@ def test_multihost_skeleton_per_host_arenas():
     got_b = arenas[1].get_best_path(cids[1])
     assert got_b["words"] == want[1]["words"]
     assert got_b["cost"] == pytest.approx(want[1]["cost"], abs=1e-4)
+
+
+def test_dp_decode_biglm_matches_single_device():
+    """dp-sharded BigLM pair decode (graph + device LM tables replicated,
+    beam state dp-sharded) equals single-device decoding."""
+    from asr_decoder_tpu.lm.arpa import parse_arpa
+    from asr_decoder_tpu.lm.device_lm import DeviceDiffLm
+    from asr_decoder_tpu.ops.beamsearch_biglm import TpuBigLmBeamSearch
+    from test_beamsearch import random_decode_graph
+    from test_lm import ARPA, ARPA2
+    from asr_decoder_tpu.fst.device_fst import DeviceFst
+
+    rng = np.random.default_rng(3)
+    fst = random_decode_graph(rng, num_states=14, num_labels=6)
+    dev = DeviceFst.build(fst, arc_lanes=8)
+    fsa1 = parse_arpa(ARPA)
+    fsa2 = parse_arpa(ARPA2, word2id=fsa1.vocab)
+    difflm = DeviceDiffLm.build(fsa1, fsa2, 0.7, 1.3)
+    cfg = DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
+                        max_active=64, min_active=0, lattice_beam=1e9,
+                        eps_mode="sweeps", lm_lanes=1 << 20)
+    search = TpuBigLmBeamSearch(dev, np.arange(7, dtype=np.int32), difflm,
+                                cfg)
+    B, T, V = 8, 10, 7
+    lls = (rng.standard_normal((B, T, V)) * 3).astype(np.float32)
+    want = search.traceback(*search.decode(lls), fst)
+    mesh = make_mesh(jax.devices()[:8], tp=1)
+    st2, il2, lg2 = dp_decode(mesh, search, lls)
+    assert len(st2.tok_cost.sharding.device_set) == 8
+    got = search.traceback(st2, il2, lg2, fst)
+    for w, g in zip(want, got):
+        assert g["words"] == w["words"]
+        assert g["cost"] == pytest.approx(w["cost"], abs=1e-4)
