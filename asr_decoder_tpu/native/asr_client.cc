@@ -129,15 +129,15 @@ int asr_get_result_align(int fd, char* text_out, int text_cap,
   uint8_t lenbuf[4];
   if (!ReadN(fd, lenbuf, 4)) return -1;
   uint32_t n = GetU32(lenbuf);
-  if (n < 14 || n > (64u << 20)) return -1;
+  if (n < 15 || n > (64u << 20)) return -1;
   std::vector<uint8_t> body(n);
   if (!ReadN(fd, body.data(), n)) return -1;
   const uint8_t* p = body.data();
   if (GetU32(p) != kMagicS2C) return -1;
   if (end_flag) *end_flag = p[4];
   uint8_t has_ali = p[7];
-  uint32_t nres = GetU32(p + 10);
-  size_t off = 14;
+  uint32_t nres = GetU32(p + 11);
+  size_t off = 15;  // head: magic(4) + 7 flag bytes (incl. warn) + nres(4)
   if (text_out && text_cap > 0) text_out[0] = '\0';
   if (align_out && align_cap > 0) align_out[0] = '\0';
   for (uint32_t i = 0; i < nres; ++i) {

@@ -153,6 +153,11 @@ class S2CPackage:
     ``vector<pair<string, pair<float,float>>>``), present iff ``ali_info``.
     The align section is packed after the n-best results and before the
     lattice, so clients that ignore trailing payloads stay compatible.
+
+    ``warn``: per-utterance quality warning bit — set when the BigLM
+    search dropped word candidates to lm_lanes overflow (the reference
+    never drops, ref: online-decoder-mempool-base-biglm.h:316-402, so a
+    drop must be visible to clients, not just server logs).
     """
     end_flag: EndFlag = EndFlag.NOEND
     do_rescore: bool = False
@@ -162,14 +167,15 @@ class S2CPackage:
     lattice: bytes = b""          # serialized lattice (optional)
     results: list[NbestResult] = field(default_factory=list)
     align: list[tuple[str, float, float]] = field(default_factory=list)
+    warn: bool = False
 
-    HEAD = struct.Struct("<IBBBBBBI")  # magic, flags..., nres
+    HEAD = struct.Struct("<IBBBBBBBI")  # magic, flags..., warn, nres
 
     def pack(self) -> bytes:
         out = [self.HEAD.pack(
             MAGIC_S2C, int(self.end_flag), int(self.do_rescore),
             int(self.do_punctuate), int(self.ali_info), int(self.score_info),
-            int(bool(self.lattice)), len(self.results))]
+            int(bool(self.lattice)), int(self.warn), len(self.results))]
         for r in self.results:
             out.append(_pack_str(r.text))
             out.append(struct.pack("<ff", r.graph_cost, r.am_cost))
@@ -187,7 +193,7 @@ class S2CPackage:
 
     @classmethod
     def unpack(cls, buf: bytes) -> "S2CPackage":
-        (magic, end, resc, punc, ali, score, has_lat, nres) = \
+        (magic, end, resc, punc, ali, score, has_lat, warn, nres) = \
             cls.HEAD.unpack_from(buf, 0)
         if magic != MAGIC_S2C:
             raise ValueError(f"bad S2C magic 0x{magic:x}")
@@ -217,7 +223,7 @@ class S2CPackage:
             off += 4
             lattice = bytes(buf[off:off + n])
         return cls(EndFlag(end), bool(resc), bool(punc), bool(ali),
-                   bool(score), lattice, results, align)
+                   bool(score), lattice, results, align, bool(warn))
 
     def one_best(self) -> str:
         return self.results[0].text if self.results else ""

@@ -317,7 +317,9 @@ class AsrServer:
         if best.get("overflowed"):
             # BigLM lm_lanes overflow dropped word candidates for this
             # utterance: never silent (ref never drops,
-            # online-decoder-mempool-base-biglm.h:316-402)
+            # online-decoder-mempool-base-biglm.h:316-402) — warn the
+            # client in-band and the operator in logs
+            reply.warn = True
             LOG.warning("biglm lm_lanes overflow on this utterance: "
                         "results may be inexact (raise lm_lanes)")
         seg_align: list = []

@@ -47,6 +47,45 @@ def test_s2c_roundtrip():
     assert got.lattice == pkg.lattice
 
 
+def test_s2c_warn_flag_roundtrip():
+    pkg = S2CPackage(end_flag=EndFlag.END, warn=True,
+                     results=[NbestResult("x", 0.0, 0.0, [1])])
+    got = S2CPackage.unpack(pkg.pack())
+    assert got.warn and got.end_flag == EndFlag.END
+    assert not S2CPackage.unpack(S2CPackage().pack()).warn
+
+
+def test_server_surfaces_biglm_overflow_warn(info):
+    """A per-utterance BigLM lm_lanes overflow must reach the client as
+    the S2C warn bit (the reference never drops candidates,
+    ref online-decoder-mempool-base-biglm.h:316-402 — a drop here must be
+    visible in-band)."""
+    wave = make_wave(2, n=8000)
+
+    async def run():
+        server = AsrServer(info, SocketConfig(port=0, num_channels=2))
+        real = server._batcher.get_best_path_from
+
+        def overflowing(snap):
+            res = real(snap)
+            res["overflowed"] = True
+            return res
+
+        server._batcher.get_best_path_from = overflowing
+        host, port = await server.start()
+        try:
+            client = AsyncAsrClient(host, port)
+            await client.connect()
+            reply = await client.decode_utterance(wave.astype(np.int16))
+            await client.close()
+            return reply
+        finally:
+            await server.stop()
+
+    reply = asyncio.run(run())
+    assert reply.warn
+
+
 def test_c2s_nbest_cap():
     with pytest.raises(ValueError):
         C2SPackage(nbest=64).pack()
