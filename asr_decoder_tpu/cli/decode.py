@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     opts.register("ref-text", lambda: ref_file["v"],
                   lambda v: ref_file.__setitem__("v", v),
                   "Reference transcripts for WER scoring", str)
+    ali = {"v": False}
+    opts.register("ali", lambda: ali["v"],
+                  lambda v: ali.__setitem__("v", v),
+                  "Print per-word time spans (AlignTime) per utterance",
+                  bool)
     pos = opts.parse(sys.argv[1:] if argv is None else argv)
     if len(pos) != 4:
         print(opts.usage(), file=sys.stderr)
@@ -63,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
         txt = session.get_best_path_txt()
         tot_frames += session.num_frames_decoded
         print(f"{utt} {txt}")
+        if ali["v"]:
+            for word, b, e in session.get_word_alignment():
+                print(f"{utt} ali {word} {b:.3f} {e:.3f}")
         if utt in refs:
             wer += score_pair(refs[utt], txt.split())
     elapsed = time.monotonic() - t0

@@ -109,13 +109,16 @@ def test_decode_cli_end_to_end(tmp_path, capsys):
     ref.write_text(f"u0 {want[0]}\nu1 x y z\n")
     rc = decode.main([
         "--beam=1e9", "--beam-width=64", "--arc-lanes=8", "--min-active=0",
-        "--chunk-frames=16", "--fbank.num-bins=16",
+        "--chunk-frames=16", "--fbank.num-bins=16", "--ali=true",
         f"--ref-text={ref}", str(am), str(graph), str(words), str(lst)])
     assert rc == 0
     out = capsys.readouterr()
     lines = [ln for ln in out.out.splitlines() if ln.strip()]
     assert lines[0] == f"u0 {want[0]}".rstrip()
-    assert lines[1] == f"u1 {want[1]}".rstrip()
+    ali_lines = [ln for ln in lines if " ali " in ln]
+    assert len(ali_lines) == sum(len(w.split()) for w in want)
+    text_lines = [ln for ln in lines if " ali " not in ln]
+    assert text_lines[1] == f"u1 {want[1]}".rstrip()
     assert "real-time factor" in out.err
     assert "%WER" in out.err
 

@@ -257,7 +257,7 @@ def test_server_slow_final_does_not_stall_other_channels(info):
 
         def slow_results(snap, pkg, final, pw, pa, pf):
             if final:
-                _time.sleep(1.0)
+                _time.sleep(3.0)
             return real_results(snap, pkg, final, pw, pa, pf)
 
         server._results = slow_results
@@ -286,7 +286,9 @@ def test_server_slow_final_does_not_stall_other_channels(info):
             await server.stop()
 
     fast_latency = asyncio.run(run())
-    assert fast_latency < 0.8, f"partial stalled {fast_latency:.2f}s " \
+    # the partial must not be serialized behind the 3 s sleeping final;
+    # the margin is generous because CI hosts can be CPU-contended
+    assert fast_latency < 2.0, f"partial stalled {fast_latency:.2f}s " \
         "behind a slow final"
 
 
