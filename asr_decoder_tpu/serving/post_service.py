@@ -193,11 +193,22 @@ class PostServer:
             lat = Lattice.from_bytes(req.lattice)
             scale = req.lm_scale or self.config.lm_scale
             res = self.rescorer.rescore(lat, req.mode, scale)
-            out = PostResponse(lattice=res.to_bytes())
-            for p in nshortest(res, max(1, req.nbest)):
-                words = [a.olabel for a in p.arcs if a.olabel != 0]
-                out.results.append(PostResult(words, p.graph_cost,
-                                              p.am_cost))
+            lat_bytes = res.to_bytes()
+            out = PostResponse(lattice=lat_bytes)
+            # lattice→ranked results: native C++ n-shortest when a
+            # toolchain exists (fst/native_nbest.py, parity-tested vs the
+            # Python path), Python fallback otherwise
+            from asr_decoder_tpu.fst import native_nbest
+            got = native_nbest.nshortest_bytes(lat_bytes,
+                                               max(1, req.nbest))
+            if got is not None:
+                out.results = [PostResult(r["words"], r["graph_cost"],
+                                          r["am_cost"]) for r in got]
+            else:
+                for p in nshortest(res, max(1, req.nbest)):
+                    words = [a.olabel for a in p.arcs if a.olabel != 0]
+                    out.results.append(PostResult(words, p.graph_cost,
+                                                  p.am_cost))
             return out
         except Exception as e:          # malformed input must not kill
             LOG.warning("rescore failed: %s", e)

@@ -146,3 +146,37 @@ def test_asr_to_post_pipeline(lms):
     want_best = nshortest(want, 1)[0]
     assert resp.results[0].words == \
         [a.olabel for a in want_best.arcs if a.olabel != 0]
+
+
+def test_native_nbest_matches_python():
+    """The native C++ n-shortest (native/lattice_ops.cc) must reproduce
+    fst/nbest.py::nshortest exactly — words, ilabels, pop order, dedup —
+    on random word lattices and on decode-shaped lattices."""
+    from asr_decoder_tpu.fst import native_nbest
+    from asr_decoder_tpu.fst.nbest import nshortest
+    if not native_nbest.available():
+        pytest.skip("no g++ toolchain")
+    for seed in range(6):
+        lat = make_word_lattice(seed)
+        data = lat.to_bytes()
+        for n in (1, 3, 8):
+            got = native_nbest.nshortest_bytes(data, n)
+            want = nshortest(lat, n)
+            assert len(got) == len(want), (seed, n)
+            for g, w in zip(got, want):
+                assert g["words"] == [a.olabel for a in w.arcs
+                                      if a.olabel != 0]
+                assert g["ilabels"] == w.ilabels
+                assert g["graph_cost"] == pytest.approx(w.graph_cost,
+                                                        abs=1e-4)
+                assert g["am_cost"] == pytest.approx(w.am_cost, abs=1e-4)
+
+
+def test_native_nbest_rejects_malformed():
+    from asr_decoder_tpu.fst import native_nbest
+    if not native_nbest.available():
+        pytest.skip("no g++ toolchain")
+    with pytest.raises(ValueError):
+        native_nbest.nshortest_bytes(b"\x01\x00\x00\x00" * 10, 3)
+    with pytest.raises(ValueError):   # truncated header
+        native_nbest.nshortest_bytes(b"", 3)
