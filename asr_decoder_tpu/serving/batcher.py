@@ -403,6 +403,15 @@ class BatchedStreamingDecoder:
         lat = self.get_lattice_from(snap, determinize=True)
         if lat is None or not lat.num_states:
             return []
+        # native C++ n-shortest when a toolchain exists (exact parity with
+        # the Python path, see native/lattice_ops.cc), Python fallback
+        from asr_decoder_tpu.fst import native_nbest
+        got = native_nbest.nshortest_bytes(lat.to_bytes(), n)
+        if got is not None:
+            return [dict(words=r["words"],
+                         text=" ".join(self.info.words.words(r["words"])),
+                         graph_cost=r["graph_cost"], am_cost=r["am_cost"])
+                    for r in got]
         out = []
         for p in nshortest(lat, n):
             words = [a.olabel for a in p.arcs if a.olabel != 0]
