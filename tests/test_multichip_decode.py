@@ -122,6 +122,12 @@ def test_multihost_skeleton_per_host_arenas():
 
     ctx = init_multihost()            # single-process no-op path
     assert isinstance(ctx, MultihostContext) and ctx.is_primary
+    from asr_decoder_tpu.parallel.multihost import (global_mesh,
+                                                    local_serving_mesh)
+    assert dict(local_serving_mesh(tp=1).shape)["dp"] == \
+        len(jax.local_devices())
+    gm = global_mesh(ctx, tp=2)
+    assert dict(gm.shape) == {"dp": len(jax.devices()) // 2, "tp": 2}
     groups = partition_hosts(jax.devices()[:8], 2)
     assert [len(g) for g in groups] == [4, 4]
     assert not set(map(id, groups[0])) & set(map(id, groups[1]))
