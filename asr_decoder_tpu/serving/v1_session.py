@@ -174,6 +174,11 @@ class V1AsrSession:
         res["text"] = " ".join(self.info.words.words(res.get("words", [])))
         res["frame_span"] = (self._seg_start, end_frame)
         res["frames"] = self._inner.num_frames_decoded
+        if self.info.fst is not None:
+            # per-word spans within the segment (seconds from segment
+            # start; place with frame_span) — the AlignTime result
+            # (ref net-data-package.h:210)
+            res["align"] = self._inner.get_word_alignment()
         self.results.append(res)
         self._inner.reset()
         self._in_speech = False

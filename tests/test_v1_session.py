@@ -103,3 +103,21 @@ def test_max_nosil_splits_long_speech(info):
     for r in s.results:
         b, e = r["frame_span"]
         assert e - b <= 60
+
+
+def test_v1_segments_carry_word_alignment(info):
+    """Every finalized segment carries per-word (begin_s, end_s) spans
+    matching its own word sequence (the AlignTime result attached at
+    segment finalization, ref net-data-package.h:210)."""
+    wave = make_wave(8, n=24000, amp=6000.0)
+    s = V1AsrSession(info, V1AsrConfig(sil_frames_cut=40))
+    s.process_data(wave, eos=True)
+    assert s.results
+    for r in s.results:
+        assert "align" in r
+        assert [w for w, _, _ in r["align"]] == \
+            info.words.words(r["words"])
+        last = 0.0
+        for _, b, e in r["align"]:
+            assert b >= last - 1e-6 and e >= b
+            last = e
