@@ -53,6 +53,19 @@ class DecoderConfig:
         "", "Acoustic-score gather implementation: '' = auto (Pallas "
             "lane-chunk kernel on TPU, XLA elsewhere), 'pallas', "
             "'interpret' (Pallas interpreter, tests), 'xla'")
+    relax_impl: str = flag(
+        "auto", "Per-frame relax kernel: 'sort' = full-width 3-key sort "
+                "(v2), 'topk' = top-k-first with narrow dedup sort + "
+                "live-adaptive HBM page fetch (v3; closure mode only), "
+                "'auto' = topk when the graph supports it")
+    fetch_impl: str = flag(
+        "", "State-record fetch for relax_impl=topk: '' = auto (DMA "
+            "pipeline on TPU, XLA gather elsewhere/small graphs), 'dma', "
+            "'xla'")
+    topk_overfetch: int = flag(
+        2, "relax_impl=topk: keep K*this candidates before destination "
+           "dedup (duplicate-dense frames keep more distinct states; 1 = "
+           "cheapest, larger = closer to exact max_active semantics)")
     lm_lanes: int = flag(
         1024, "BigLM in-search: word candidates are compacted to this many "
               "lanes before the per-candidate LM probe; >= K*arc_lanes "

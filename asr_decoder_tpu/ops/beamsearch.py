@@ -49,6 +49,8 @@ import numpy as np
 
 from asr_decoder_tpu.decoder.config import DecoderConfig
 from asr_decoder_tpu.fst.device_fst import DeviceFst
+from asr_decoder_tpu.ops.fetch import fetch_pages, pack_state_records
+from asr_decoder_tpu.ops.gather import _on_tpu as _on_tpu_backend
 from asr_decoder_tpu.ops.gather import batched_table_gather
 
 INF = jnp.inf
@@ -79,6 +81,20 @@ class GraphArrays(NamedTuple):
     em_rec: jax.Array      # i32[S, 4*A]
     eps_rec: jax.Array     # i32[S, 3*Aeps]  (zero-width in closure mode)
     clo_rec: jax.Array     # i32[S, 3*C]     (zero-width in sweeps mode)
+    start: jax.Array       # i32 scalar
+    final_state: jax.Array # i32 scalar
+
+
+class PackedGraph(NamedTuple):
+    """v3 (relax_impl=topk) device graph: each state's full record —
+    emitting arcs AND ε-closure entries, field-major — packed into one
+    lane group of a 128-lane HBM page row (``ops/fetch.py``), so ONE
+    live-adaptive DMA fetch per relax stage serves both the emit and the
+    closure expansion.  Lane layout per state (A = arc lanes, C = closure
+    lanes): [em_dst·A | em_pdf·A | em_w·A | clo_dst·C | clo_w·C], dst
+    padding = -1.  Arc/entry ids are NOT stored — the host traceback
+    re-derives them from (state, lane) via the DeviceFst CSR offsets."""
+    pages: jax.Array       # i32[S_pages, 128]
     start: jax.Array       # i32 scalar
     final_state: jax.Array # i32 scalar
 
@@ -167,6 +183,56 @@ def make_graph_arrays(dev: DeviceFst, ilabel2pdf: np.ndarray,
         start=jnp.int32(dev.start),
         final_state=jnp.int32(dev.final_state),
     )
+
+
+def _pad_block(offset: np.ndarray, count: np.ndarray, lanes: int,
+               vals: np.ndarray, fill) -> np.ndarray:
+    """CSR field → padded [S, lanes] block (row s = vals[offset_s:+count_s])."""
+    S = len(offset)
+    lane = np.arange(lanes)
+    mask = lane[None, :] < count[:, None]
+    idx = np.where(mask, offset[:, None] + lane[None, :], 0)
+    if vals.dtype == np.float32:
+        vals = vals.view(np.int32)
+    out = np.where(mask, vals.astype(np.int32)[idx], fill)
+    return out.astype(np.int32)
+
+
+def packed_lanes(A: int, C: int) -> int:
+    """Per-state lane group for the packed page table (divisor of 128),
+    or 0 if the record does not fit one page row."""
+    need = 3 * A + 2 * C
+    for lanes in (32, 64, 128):
+        if need <= lanes:
+            return lanes
+    return 0
+
+
+def make_packed_graph(dev: DeviceFst, ilabel2pdf: np.ndarray
+                      ) -> tuple[PackedGraph, int, int]:
+    """Build the v3 page table; returns (graph, states_per_page, lanes)."""
+    assert dev.clo_offset is not None, "call dev.build_closure() first"
+    ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
+    A = max(dev.max_em_degree, 1)
+    C = dev.max_closure_size
+    lanes = packed_lanes(A, C)
+    assert lanes, f"state record too wide for a page: A={A} C={C}"
+    em_pdf = ilabel2pdf[dev.em_ilabel]
+    blocks = [
+        _pad_block(dev.em_offset, dev.em_count, A, dev.em_dst, -1),
+        _pad_block(dev.em_offset, dev.em_count, A, em_pdf, 0),
+        _pad_block(dev.em_offset, dev.em_count, A, dev.em_weight, 0),
+    ]
+    if C:
+        blocks += [
+            _pad_block(dev.clo_offset, dev.clo_count, C, dev.clo_dst, -1),
+            _pad_block(dev.clo_offset, dev.clo_count, C, dev.clo_weight, 0),
+        ]
+    pages, spp = pack_state_records(blocks, lanes)
+    return (PackedGraph(pages=jnp.asarray(pages),
+                        start=jnp.int32(dev.start),
+                        final_state=jnp.int32(dev.final_state)),
+            spp, lanes)
 
 
 # ----------------------------------------------------------------------
@@ -359,6 +425,194 @@ def _frame_step(g: GraphArrays, state, cost, ll, *, cfg):
 
 
 # ----------------------------------------------------------------------
+# v3 (relax_impl=topk) stages: top-k-first relax + live-adaptive page fetch
+# ----------------------------------------------------------------------
+
+def _relax_topk(dst, cost, *, K, beam, min_active, F, gather_impl):
+    """Top-k-first min-merge + prune (the v3 `FindOrAddToken`+`GetCutoff`).
+
+    Instead of sorting the full [B, N] candidate field by destination
+    (v2 ``_relax_and_prune`` — measured sort-bound at production widths),
+    this keeps the best K·F candidates by cost (duplicates included), then
+    dedups by destination with a NARROW 3-key sort over [B, K·F], then
+    re-prunes to the best K distinct states.  Exact vs v2 whenever K·F
+    covers every in-beam candidate (the parity suite's regime); at finite
+    beam the difference is that duplicate candidates can crowd the K·F
+    cut — F (``topk_overfetch``) bounds that, mirroring how the reference
+    hash always holds distinct states (ref FindOrAddToken,
+    src/my-decoder/online-decoder-base-inl.h:89-137; GetCutoff :139-245).
+
+    Ties: top_k and the (dst, cost, fi) sort both resolve equal costs by
+    lowest flat candidate index — the reference's first-writer-wins.
+
+    Returns (state i32[B,K], cost f32[B,K], fi i32[B,K] flat candidate
+    index (0 where dead), alive bool[B,K], live i32[B]).  Output is
+    cost-sorted ⇒ live-prefix (dead slots last), which the page fetch of
+    the NEXT stage relies on for its dynamic DMA trip count.
+    """
+    B, N = dst.shape
+    KF = min(K * F, N)
+    negc, fi = jax.lax.top_k(-cost, KF)
+    cost_k = -negc
+    dead = ~jnp.isfinite(cost_k)
+    dst_k = batched_table_gather(dst, jnp.where(dead, 0, fi),
+                                 force=gather_impl)
+    dst_k = jnp.where(dead, BIG_STATE, dst_k)
+    # adaptive beam mask at candidate rank (ref GetCutoff)
+    best = cost_k[:, :1]
+    rank = _lane_iota(KF)
+    keep = ~dead & ((cost_k <= best + beam) | (rank < min_active))
+    cost_k = jnp.where(keep, cost_k, INF)
+    dst_k = jnp.where(keep, dst_k, BIG_STATE)
+    # dedup by destination: narrow 3-key sort, first of segment wins
+    d_s, c_s, fi_s = jax.lax.sort((dst_k, cost_k, fi), num_keys=3,
+                                  is_stable=False)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), d_s[:, 1:] != d_s[:, :-1]], axis=1)
+    c_s = jnp.where(first & (d_s != BIG_STATE), c_s, INF)
+    # re-prune to K distinct, restoring cost order (= live-prefix compaction)
+    negc2, pos = jax.lax.top_k(-c_s, K)
+    cost2 = -negc2
+    alive = jnp.isfinite(cost2)
+    pos = jnp.where(alive, pos, 0)
+    state2 = jnp.where(alive,
+                       batched_table_gather(d_s, pos, force=gather_impl),
+                       NO_STATE)
+    fi2 = jnp.where(alive,
+                    batched_table_gather(fi_s, pos, force=gather_impl), 0)
+    cost2 = jnp.where(alive, cost2, INF)
+    live = jnp.sum(alive, axis=1, dtype=jnp.int32)
+    return state2, cost2, fi2, alive, live
+
+
+def _live_count(state):
+    return jnp.sum(state != NO_STATE, axis=1, dtype=jnp.int32)
+
+
+def _emit_stage_v3(pg: PackedGraph, state, cost, ll, *, cfg):
+    """ProcessEmitting, v3: ONE live-adaptive page fetch of each active
+    state's packed record, then top-k-first relax."""
+    with jax.named_scope("search/emit3"):
+        K, A = cfg["K"], cfg["A"]
+        B = state.shape[0]
+        N = K * A
+        rows = fetch_pages(pg.pages, state, _live_count(state),
+                           cfg["spp"], cfg["lanes"], impl=cfg["fetch_impl"])
+        dstN = rows[:, :, 0 * A:1 * A].reshape(B, N)
+        pdfN = rows[:, :, 1 * A:2 * A].reshape(B, N)
+        wN = _bits_to_f32(rows[:, :, 2 * A:3 * A]).reshape(B, N)
+        valid = state != NO_STATE      # masks dead-slot garbage rows too
+        validN = jnp.repeat(valid, A, axis=1)
+        amask = validN & (dstN >= 0)
+        am = batched_table_gather(ll, jnp.where(amask, pdfN, 0),
+                                  force=cfg["gather_impl"])
+        candN = jnp.where(amask,
+                          jnp.repeat(cost, A, axis=1) + wN
+                          - cfg["acoustic_scale"] * am, INF)
+        dstN = jnp.where(amask, dstN, BIG_STATE)
+        state2, cost2, fi, alive, _ = _relax_topk(
+            dstN, candN, K=K, beam=cfg["beam"],
+            min_active=cfg["min_active"], F=cfg["F"],
+            gather_impl=cfg["gather_impl"])
+        prev = jnp.where(alive, fi // A, 0)
+        aid = jnp.where(alive, fi, ARC_STAY)
+        return state2, cost2, prev, aid
+
+
+def _clo_stage_v3(pg: PackedGraph, state, cost, *, cfg):
+    """ProcessNonemitting, v3: fetch the post-emit states' pages, relax
+    their precomputed ε-closure entries plus a per-token stay block."""
+    with jax.named_scope("search/eps3"):
+        K, A, C = cfg["K"], cfg["A"], cfg["C"]
+        B = state.shape[0]
+        N = K * C
+        rows = fetch_pages(pg.pages, state, _live_count(state),
+                           cfg["spp"], cfg["lanes"], impl=cfg["fetch_impl"])
+        dstN = rows[:, :, 3 * A:3 * A + C].reshape(B, N)
+        wN = _bits_to_f32(rows[:, :, 3 * A + C:3 * A + 2 * C]).reshape(B, N)
+        valid = state != NO_STATE
+        validN = jnp.repeat(valid, C, axis=1)
+        emask = validN & (dstN >= 0)
+        candN = jnp.where(emask, jnp.repeat(cost, C, axis=1) + wN, INF)
+        dstN = jnp.where(emask, dstN, BIG_STATE)
+        dst_all = jnp.concatenate(
+            [dstN, jnp.where(valid, state, BIG_STATE)], axis=1)
+        cand_all = jnp.concatenate(
+            [candN, jnp.where(valid, cost, INF)], axis=1)
+        state2, cost2, fi, alive, _ = _relax_topk(
+            dst_all, cand_all, K=K, beam=cfg["beam"],
+            min_active=cfg["min_active"], F=cfg["F"],
+            gather_impl=cfg["gather_impl"])
+        is_stay = fi >= N
+        prev = jnp.where(alive, jnp.where(is_stay, fi - N, fi // C), 0)
+        aid = jnp.where(alive & ~is_stay, fi, ARC_STAY)
+        return state2, cost2, prev, aid
+
+
+def _frame_step_v3(pg: PackedGraph, state, cost, ll, *, cfg):
+    state, cost, prev0, aid0 = _emit_stage_v3(pg, state, cost, ll, cfg=cfg)
+    if cfg["C"] > 0:
+        state, cost, prev1, aid1 = _clo_stage_v3(pg, state, cost, cfg=cfg)
+        prev = jnp.stack([prev0, prev1])
+        aid = jnp.stack([aid0, aid1])
+    else:
+        prev, aid = prev0[None], aid0[None]
+    return state, cost, prev, aid
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _init_fn_v3(pg: PackedGraph, batch: int, static_cfg: tuple):
+    cfg = dict(static_cfg)
+    K = cfg["K"]
+    state = jnp.full((batch, K), NO_STATE, jnp.int32)
+    cost = jnp.full((batch, K), INF, jnp.float32)
+    state = state.at[:, 0].set(pg.start)
+    cost = cost.at[:, 0].set(0.0)
+    if cfg["C"] > 0:
+        state, cost, prev, aid = _clo_stage_v3(pg, state, cost, cfg=cfg)
+        prev, aid = prev[None], aid[None]
+    else:
+        B = batch
+        prev = jnp.zeros((0, B, K), jnp.int32)
+        aid = jnp.zeros((0, B, K), jnp.int32)
+    return BeamState(state, cost), FrameLog(prev, aid, state, cost)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _advance_fn_v3(pg: PackedGraph, state: BeamState, inputs,
+                   static_cfg: tuple):
+    cfg = dict(static_cfg)
+    loglikes, frame_mask = inputs
+    K = cfg["K"]
+
+    def scan_body(carry, xs):
+        st, co = carry
+        ll, mask = xs
+        ns, nc, prev, aid = _frame_step_v3(pg, st, co, ll, cfg=cfg)
+        slot_id = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2), prev.shape)
+        m = mask[:, None]
+        ns = jnp.where(m, ns, st)
+        nc = jnp.where(m, nc, co)
+        m3 = mask[None, :, None]
+        prev = jnp.where(m3, prev, slot_id)
+        aid = jnp.where(m3, aid, ARC_STAY)
+        ys = [prev, aid]
+        if cfg["log_snapshots"]:
+            ys += [ns, nc]
+        else:
+            ys += [jnp.zeros((ns.shape[0], 0), jnp.int32),
+                   jnp.zeros((ns.shape[0], 0), jnp.float32)]
+        return (ns, nc), tuple(ys)
+
+    lls = jnp.swapaxes(loglikes, 0, 1)
+    masks = jnp.swapaxes(frame_mask, 0, 1)
+    (st, co), (prevs, aids, toks, costs) = jax.lax.scan(
+        scan_body, (state.tok_state, state.tok_cost), (lls, masks))
+    return BeamState(st, co), FrameLog(prevs, aids, toks, costs)
+
+
+# ----------------------------------------------------------------------
 # jitted entry points — module-level and keyed only by the static config +
 # array shapes, so decoders over different graphs share compilations
 # ----------------------------------------------------------------------
@@ -448,26 +702,62 @@ class TpuBeamSearch:
         else:
             eps_iters = 0
         self.mode = mode
-        self.graph = make_graph_arrays(dev, ilabel2pdf, mode)
+
+        # relax implementation: v3 (topk + packed page fetch) needs the
+        # closure table and a state record that fits one page row
+        relax = cfg.relax_impl
+        A = max(dev.max_em_degree, 1)
+        C = dev.max_closure_size if mode == "closure" else 0
+        v3_ok = (mode == "closure"
+                 and packed_lanes(A, C) > 0
+                 and cfg.log_snapshots)
+        if relax == "auto":
+            relax = "topk" if v3_ok else "sort"
+        elif relax == "topk":
+            assert v3_ok, ("relax_impl=topk needs eps_mode=closure, a "
+                           "page-fit record (3A+2C<=128) and log_snapshots")
+        self.relax_impl = relax
+
         K = min(cfg.beam_width, cfg.max_active)
-        self._static = tuple(sorted(dict(
-            K=K,
-            A=int(self.graph.em_rec.shape[1]) // 4,
-            E=eps_iters,
-            C=dev.max_closure_size if mode == "closure" else 0,
-            mode=mode,
-            beam=float(cfg.beam),
-            min_active=int(cfg.min_active),
-            acoustic_scale=float(cfg.acoustic_scale),
-            log_snapshots=bool(cfg.log_snapshots),
-            gather_impl=cfg.gather_impl or None,
-        ).items()))
+        if relax == "topk":
+            self.pgraph, spp, lanes = make_packed_graph(dev, ilabel2pdf)
+            self.graph = None
+            fetch = cfg.fetch_impl or ("dma" if _on_tpu_backend()
+                                       else "xla")
+            self._static = tuple(sorted(dict(
+                K=K, A=A, C=C, spp=spp, lanes=lanes,
+                F=int(cfg.topk_overfetch),
+                beam=float(cfg.beam),
+                min_active=int(cfg.min_active),
+                acoustic_scale=float(cfg.acoustic_scale),
+                log_snapshots=bool(cfg.log_snapshots),
+                gather_impl=cfg.gather_impl or None,
+                fetch_impl=fetch,
+            ).items()))
+            self.num_stages = 1 + int(C > 0)
+        else:
+            self.pgraph = None
+            self.graph = make_graph_arrays(dev, ilabel2pdf, mode)
+            self._static = tuple(sorted(dict(
+                K=K,
+                A=int(self.graph.em_rec.shape[1]) // 4,
+                E=eps_iters,
+                C=C,
+                mode=mode,
+                beam=float(cfg.beam),
+                min_active=int(cfg.min_active),
+                acoustic_scale=float(cfg.acoustic_scale),
+                log_snapshots=bool(cfg.log_snapshots),
+                gather_impl=cfg.gather_impl or None,
+            ).items()))
+            self.num_stages = 1 + (eps_iters if mode == "sweeps"
+                                   else int(C > 0))
         self.beam_width = K
-        self.num_stages = 1 + (eps_iters if mode == "sweeps"
-                               else int(dev.max_closure_size > 0))
 
     # -- InitDecoding ------------------------------------------------------
     def init_state(self, batch: int) -> tuple[BeamState, FrameLog]:
+        if self.relax_impl == "topk":
+            return _init_fn_v3(self.pgraph, batch, self._static)
         return _init_fn(self.graph, batch, self._static)
 
     # -- AdvanceDecoding over a chunk of frames ----------------------------
@@ -477,6 +767,10 @@ class TpuBeamSearch:
         B, T, _ = loglikes.shape
         if frame_mask is None:
             frame_mask = jnp.ones((B, T), bool)
+        if self.relax_impl == "topk":
+            return _advance_fn_v3(self.pgraph, state,
+                                  (loglikes, jnp.asarray(frame_mask)),
+                                  self._static)
         return _advance_fn(self.graph, state,
                            (loglikes, jnp.asarray(frame_mask)), self._static)
 
@@ -563,6 +857,8 @@ class TpuBeamSearch:
         ``fst_arcs``: the source StdFst (for olabel/ilabel lookup); if None,
         only arc ids and cost are returned.
         """
+        if self.relax_impl == "topk":
+            return self._traceback_v3(state, init_log, logs, fst_arcs)
         tok_state = np.asarray(state.tok_state)
         tok_cost = np.asarray(state.tok_cost)
         chunks = logs if isinstance(logs, list) else [logs]
@@ -592,6 +888,108 @@ class TpuBeamSearch:
                 arcs_rev.extend(self._decode_stage_arcs(
                     s + 1, int(iaid[s, b, slot])))
                 slot = int(iprev[s, b, slot])
+            arc_ids = arcs_rev[::-1]
+            res = dict(arc_ids=arc_ids, cost=total,
+                       reached_final=reached_final)
+            if fst_arcs is not None:
+                ol = fst_arcs.arc_olabel[arc_ids]
+                il = fst_arcs.arc_ilabel[arc_ids]
+                res["words"] = [int(x) for x in ol[ol != 0]]
+                res["ilabels"] = [int(x) for x in il[il != 0]]
+            results.append(res)
+        return results
+
+    def _traceback_v3(self, state: BeamState, init_log: FrameLog,
+                      logs, fst_arcs=None):
+        """v3 traceback: the device logs only (prev_slot, flat candidate
+        index); arc ids are re-derived host-side as
+        ``em_arcid[em_offset[prev_state] + lane]`` (and closure entries as
+        ``clo_offset[post_emit_state] + lane``) using the logged token-state
+        snapshots — same backward walk as the reference TraceBackBestPath
+        (ref: online-decoder-base-inl.h:1097-1161)."""
+        dev = self.dev
+        cfg = dict(self._static)
+        A, C = cfg["A"], cfg["C"]
+        K = cfg["K"]
+        tok_state = np.asarray(state.tok_state)
+        tok_cost = np.asarray(state.tok_cost)
+        chunks = logs if isinstance(logs, list) else [logs]
+        chunks = [(np.asarray(c.prev_slot), np.asarray(c.arc_id),
+                   np.asarray(c.tok_state)) for c in chunks]
+        init_snap = np.asarray(init_log.tok_state)
+        iprev = np.asarray(init_log.prev_slot)
+        iaid = np.asarray(init_log.arc_id)
+        final_id = int(self.dev.final_state)
+        results = []
+        for b in range(tok_state.shape[0]):
+            finals = np.where(tok_state[b] == final_id)[0]
+            if len(finals):
+                slot = int(finals[np.argmin(tok_cost[b][finals])])
+                reached_final = True
+            else:
+                slot = int(np.argmin(tok_cost[b]))
+                reached_final = False
+            total = float(tok_cost[b, slot])
+            arcs_rev: list[int] = []
+
+            def emit_resolve(aids, prevs, t, slot, prev_state_of):
+                """Resolve the emit stage at (t, slot): appends the emit
+                arc, returns (prev slot, post-emit state or -1)."""
+                fi = int(aids[t, 0, b, slot])
+                p = int(prevs[t, 0, b, slot])
+                if fi < 0:
+                    return p, -1
+                lane = fi % A
+                ps = prev_state_of(int(fi // A))
+                ai = int(dev.em_offset[ps]) + lane
+                arcs_rev.append(int(dev.em_arcid[ai]))
+                return int(fi // A), int(dev.em_dst[ai])
+
+            def peek_emit_dst(aids, prevs, t, slot, prev_state_of):
+                """Post-emit state at (t, slot) without appending arcs."""
+                fi = int(aids[t, 0, b, slot])
+                assert fi >= 0, "closure entry above a stay emit slot"
+                ps = prev_state_of(int(fi // A))
+                return int(dev.em_dst[int(dev.em_offset[ps]) + fi % A])
+
+            for ci in range(len(chunks) - 1, -1, -1):
+                prevs, aids, snaps = chunks[ci]
+                T = prevs.shape[0]
+                for t in range(T - 1, -1, -1):
+                    if t > 0:
+                        prior = snaps[t - 1]
+                    elif ci > 0:
+                        prior = chunks[ci - 1][2][-1]
+                    else:
+                        prior = init_snap
+
+                    def prev_state_of(p, prior=prior):
+                        return int(prior[b, p])
+
+                    if C > 0:
+                        fi1 = int(aids[t, 1, b, slot])
+                        slot = int(prevs[t, 1, b, slot])
+                        if fi1 >= 0:
+                            # ε-path arcs follow the emit arc on the
+                            # forward path ⇒ in backward accumulation they
+                            # come first; clo_path_mat rows are already
+                            # backward-ordered (last edge at level 0)
+                            s_emit = peek_emit_dst(
+                                aids, prevs, t, slot, prev_state_of)
+                            entry = int(dev.clo_offset[s_emit]) + fi1 % C
+                            row = dev.clo_path_mat[entry]
+                            arcs_rev.extend(int(x) for x in row[row >= 0])
+                    slot, _ = emit_resolve(aids, prevs, t, slot,
+                                           prev_state_of)
+            # init closure stage: pre-closure beam = [start] at slot 0
+            if iprev.shape[0]:
+                fi1 = int(iaid[0, b, slot])
+                p1 = int(iprev[0, b, slot])
+                slot = p1
+                if fi1 >= 0:
+                    entry = int(dev.clo_offset[int(dev.start)]) + fi1 % C
+                    row = dev.clo_path_mat[entry]
+                    arcs_rev.extend(int(x) for x in row[row >= 0])
             arc_ids = arcs_rev[::-1]
             res = dict(arc_ids=arc_ids, cost=total,
                        reached_final=reached_final)

@@ -26,8 +26,11 @@ def shard_search(mesh: Mesh, search) -> None:
     (the read-only shared model state, ref: per-thread shared AM/graph in
     V1AsrSource, src/v1-asrbin/v1-asr-service.cc:91-102).  The BigLM
     variant's device n-gram LM tables replicate the same way."""
-    search.graph = type(search.graph)(*(
-        jax.device_put(a, replicated(mesh)) for a in search.graph))
+    for attr in ("graph", "pgraph"):
+        g = getattr(search, attr, None)
+        if g is not None:
+            setattr(search, attr, type(g)(*(
+                jax.device_put(a, replicated(mesh)) for a in g)))
     tabs = getattr(search, "_lm_tabs", None)
     if tabs is not None:
         search._lm_tabs = jax.tree_util.tree_map(
