@@ -29,6 +29,7 @@ per-host isolation and reserves the global mesh for oversized AMs.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -75,8 +76,59 @@ def local_serving_mesh(tp: int = 1):
 
 def global_mesh(ctx: MultihostContext, tp: int = 1):
     """Cross-host (dp × tp) mesh over every device in the slice — only for
-    jit programs that must span hosts (oversized tp-sharded AMs)."""
+    jit programs that must span hosts (oversized tp-sharded AMs).  ``ctx``
+    must describe the initialized runtime: the mesh is only meaningful when
+    every process of the slice has joined via ``init_multihost``."""
+    if ctx.num_processes > 1:
+        assert jax.process_count() == ctx.num_processes, (
+            f"jax.distributed not initialized for {ctx.num_processes} "
+            f"processes (process_count={jax.process_count()}); call "
+            "init_multihost with the coordinator address first")
     return make_mesh(jax.devices(), tp=tp)
+
+
+def run_distributed_selftest(num_processes: int = 2,
+                             timeout: float = 480.0) -> list[str]:
+    """Spawn ``num_processes`` REAL OS processes that each call
+    ``jax.distributed.initialize`` against a local coordinator, build the
+    cross-host ``global_mesh``, and verify tp-sharded AM parity on their
+    addressable shards (see ``_mh_worker``).  Returns the worker OK lines;
+    raises on any worker failure.  CPU-only — exercises the one code path
+    single-process simulation cannot (BASELINE config 5)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""        # workers set their own device count
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "asr_decoder_tpu.parallel._mh_worker",
+         coord, str(num_processes), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(num_processes)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    oks = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        ok = [ln for ln in out.splitlines() if ln.startswith("MH_OK")]
+        if p.returncode != 0 or not ok:
+            raise RuntimeError(
+                f"distributed worker {i} failed (rc={p.returncode}):\n"
+                + out[-2000:])
+        oks.append(ok[0])
+    return oks
 
 
 def partition_hosts(devices, n_hosts: int) -> list[list]:

@@ -33,3 +33,8 @@ if not os.environ.get("ASR_TPU_TESTS"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process, big graphs)")

@@ -184,3 +184,16 @@ def test_dp_decode_biglm_matches_single_device():
     for w, g in zip(want, got):
         assert g["words"] == w["words"]
         assert g["cost"] == pytest.approx(w["cost"], abs=1e-4)
+
+
+@pytest.mark.slow
+def test_real_two_process_jax_distributed():
+    """REAL multi-process jax.distributed (not simulated): two OS
+    processes join a local coordinator, build the cross-host global_mesh,
+    and verify tp-sharded AM parity on their own addressable shards
+    (BASELINE config 5's only path single-process simulation cannot
+    exercise)."""
+    from asr_decoder_tpu.parallel.multihost import run_distributed_selftest
+    oks = run_distributed_selftest(2)
+    assert len(oks) == 2
+    assert all("devices=8" in ln for ln in oks)
