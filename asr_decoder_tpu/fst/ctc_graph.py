@@ -86,6 +86,10 @@ def build_ctc_decode_graph(
         nxt, s0, np.array(src), np.array(il, np.int32),
         np.array(ol, np.int32), np.array(w, np.float32),
         np.array(dst), {s0: 0.0})
+    if share_prefixes:
+        # the trie moves each word's olabel to its exit arc — word
+        # alignment must anchor spans at the olabel's END, not start
+        fst.olabel_anchor = "end"
     ilabel2pdf = np.concatenate([
         np.arange(num_phones + 1, dtype=np.int32), [0]])   # blank_il → 0
     return fst, ilabel2pdf

@@ -62,9 +62,12 @@ class DeviceFst:
     eps_arcid: np.ndarray
     # ε-closure block (lazily built by ``build_closure``): for each state s,
     # entries are the *proper* ε-reachable states (s itself is implicit) with
-    # their best ε-path weight; ``clo_path_mat[i]`` holds entry i's best
-    # ε-path original arc ids BACKWARD-ordered (v→s), -1 padded (split-chain
-    # links dropped).  This turns the reference's per-frame ε worklist
+    # their best ε-path weight; ``clo_paths(i)`` yields entry i's best
+    # ε-path original arc ids BACKWARD-ordered (v→s), stored ragged
+    # (``clo_path_arcs``/``clo_path_off`` CSR; split-chain bookkeeping
+    # links dropped — a dense [num_clo, max_depth] matrix padded to the
+    # deepest split chain multiplied host memory on production HCLGs).
+    # This turns the reference's per-frame ε worklist
     # (ProcessNonemitting,
     # ref: src/my-decoder/online-decoder-base-inl.h:354-437) into a single
     # precomputed relaxation stage on device.
@@ -72,7 +75,8 @@ class DeviceFst:
     clo_count: np.ndarray | None = None    # i32[num_states]
     clo_dst: np.ndarray | None = None      # i32[num_clo]
     clo_weight: np.ndarray | None = None   # f32[num_clo]
-    clo_path_mat: np.ndarray | None = None  # i64[num_clo, max_depth]
+    clo_path_arcs: np.ndarray | None = None  # i32[total_path_arcs]
+    clo_path_off: np.ndarray | None = None    # i64[num_clo+1]
 
     @property
     def max_em_degree(self) -> int:
@@ -248,7 +252,8 @@ class DeviceFst:
             self.clo_count = np.zeros(n, np.int32)
             self.clo_dst = np.zeros(0, np.int32)
             self.clo_weight = np.zeros(0, np.float32)
-            self.clo_path_mat = np.zeros((0, 0), np.int64)
+            self.clo_path_arcs = np.zeros(0, np.int32)
+            self.clo_path_off = np.zeros(1, np.int64)
             return
         # vectorized all-sources Bellman-Ford over the ε-subgraph: the
         # relation R = {(s, v) → (dist, last_edge)} starts as the identity
@@ -335,10 +340,21 @@ class DeviceFst:
             if active.any():
                 raise ValueError("epsilon closure path cycle")
         # rows are BACKWARD-ordered (v→s): level 0 is the path's last edge
-        self.clo_path_mat = (np.stack(cols, axis=1) if cols
-                             else np.zeros((m, 0), np.int64))
+        mat = (np.stack(cols, axis=1) if cols
+               else np.zeros((m, 0), np.int64))
+        keep = mat >= 0
+        self.clo_path_arcs = mat[keep].astype(np.int32)
+        cnt = keep.sum(axis=1)
+        self.clo_path_off = np.concatenate(
+            [[0], np.cumsum(cnt)]).astype(np.int64)
         self.clo_offset = offset
         self.clo_count = count
         self.clo_dst = C_v.astype(np.int32)
         self.clo_weight = C_d.astype(np.float32)
 
+
+    def clo_paths(self, entry: int) -> np.ndarray:
+        """Closure entry's best ε-path original arc ids, backward-ordered
+        (last edge first); split-chain bookkeeping links already dropped."""
+        return self.clo_path_arcs[self.clo_path_off[entry]:
+                                  self.clo_path_off[entry + 1]]

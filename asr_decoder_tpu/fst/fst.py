@@ -64,6 +64,11 @@ class StdFst:
     arc_olabel: np.ndarray          # i32[num_arcs]
     arc_weight: np.ndarray          # f32[num_arcs]
     arc_dst: np.ndarray             # i32[num_arcs]
+    # where olabels sit relative to a word's acoustic span: "start"
+    # (composed HCLG, labels pushed early) or "end" (label-pushed-late
+    # graphs like the shared-prefix CTC trie) — consumed by word alignment
+    # (align/word_align.py)
+    olabel_anchor: str = "start"
 
     @property
     def num_states(self) -> int:

@@ -72,9 +72,11 @@ def nshortest_bytes(data: bytes, n: int, *, unique_words: bool = True
     out_len = ctypes.c_size_t(0)
     rc = lib.lat_nbest(data, len(data), int(n), int(unique_words),
                        ctypes.byref(out), ctypes.byref(out_len))
-    if rc < 0:
-        raise ValueError("malformed lattice bytes")
     try:
+        if rc == -2:
+            raise MemoryError("native n-best result allocation failed")
+        if rc < 0:
+            raise ValueError("malformed lattice bytes")
         buf = ctypes.string_at(out, out_len.value) if out_len.value else b""
     finally:
         if out:

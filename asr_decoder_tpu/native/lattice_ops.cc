@@ -182,7 +182,12 @@ int lat_nbest(const uint8_t* data, size_t len, int n, int unique_words,
       if (fresh) {
         size_t need = 4 + 4 * words.size() + 4 + 4 * ils.size() + 8;
         size_t pos = *out_len;
-        *out = static_cast<uint8_t*>(std::realloc(*out, pos + need));
+        uint8_t* grown =
+            static_cast<uint8_t*>(std::realloc(*out, pos + need));
+        if (!grown) {  // keep *out valid for the caller's free()
+          return -2;
+        }
+        *out = grown;
         uint8_t* q = *out + pos;
         uint32_t nw = words.size(), ni = ils.size();
         std::memcpy(q, &nw, 4);

@@ -840,8 +840,8 @@ class TpuBeamSearch:
         if stage == 0:                       # emitting block index
             return [int(self.dev.em_arcid[a])]
         if self.mode == "closure":           # closure entry index
-            row = self.dev.clo_path_mat[a]   # backward-ordered, -1 padded
-            return [int(x) for x in row[row >= 0]]
+            # backward-ordered ε-path arc ids, ragged CSR
+            return [int(x) for x in self.dev.clo_paths(a)]
         aid = int(self.dev.eps_arcid[a])     # ε block index
         return [aid] if aid >= 0 else []     # skip split-chain links
 
@@ -972,13 +972,13 @@ class TpuBeamSearch:
                         if fi1 >= 0:
                             # ε-path arcs follow the emit arc on the
                             # forward path ⇒ in backward accumulation they
-                            # come first; clo_path_mat rows are already
+                            # come first; clo_paths rows are already
                             # backward-ordered (last edge at level 0)
                             s_emit = peek_emit_dst(
                                 aids, prevs, t, slot, prev_state_of)
                             entry = int(dev.clo_offset[s_emit]) + fi1 % C
-                            row = dev.clo_path_mat[entry]
-                            arcs_rev.extend(int(x) for x in row[row >= 0])
+                            arcs_rev.extend(
+                                int(x) for x in dev.clo_paths(entry))
                     slot, _ = emit_resolve(aids, prevs, t, slot,
                                            prev_state_of)
             # init closure stage: pre-closure beam = [start] at slot 0
@@ -988,8 +988,7 @@ class TpuBeamSearch:
                 slot = p1
                 if fi1 >= 0:
                     entry = int(dev.clo_offset[int(dev.start)]) + fi1 % C
-                    row = dev.clo_path_mat[entry]
-                    arcs_rev.extend(int(x) for x in row[row >= 0])
+                    arcs_rev.extend(int(x) for x in dev.clo_paths(entry))
             arc_ids = arcs_rev[::-1]
             res = dict(arc_ids=arc_ids, cost=total,
                        reached_final=reached_final)

@@ -360,7 +360,8 @@ class BatchedStreamingDecoder:
                 "(hclg/biglm-hclg)")
         res = self.get_best_path_from(snap)
         spans = word_spans(res.get("arc_ids", []), fst.arc_ilabel,
-                           fst.arc_olabel, frame_offset)
+                           fst.arc_olabel, frame_offset,
+                           anchor=getattr(fst, "olabel_anchor", "start"))
         return spans_to_align(spans, self.info.words,
                               self.info.seconds_per_frame)
 

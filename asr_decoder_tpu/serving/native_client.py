@@ -116,10 +116,19 @@ class NativeAsrClient:
                                             len(abuf))
         if nres < 0:
             raise ConnectionError("receive failed")
-        self.last_align = [
-            (w, float(b), float(e))
-            for w, b, e in (line.split("\t") for line in
-                            abuf.value.decode("utf-8").splitlines() if line)]
+        # tolerate a truncated trailing line (the align buffer is fixed
+        # size and asr_get_result_align may cut mid-line) or stray tabs:
+        # only well-formed "word\tbegin\tend" lines are kept
+        align = []
+        for line in abuf.value.decode("utf-8", "replace").splitlines():
+            parts = line.rsplit("\t", 2)
+            if len(parts) != 3:
+                continue
+            try:
+                align.append((parts[0], float(parts[1]), float(parts[2])))
+            except ValueError:
+                continue
+        self.last_align = align
         return buf.value.decode("utf-8"), int(end.value)
 
     def decode_utterance(self, wave: np.ndarray, chunk: int = 4000,

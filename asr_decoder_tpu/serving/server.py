@@ -322,16 +322,24 @@ class AsrServer:
             reply.warn = True
             LOG.warning("biglm lm_lanes overflow on this utterance: "
                         "results may be inexact (raise lm_lanes)")
+        # per-word time spans are computed at EVERY reply that can fold a
+        # segment into the prefix, not only when this chunk requested
+        # ali_info — otherwise a client asking for alignment only on its
+        # final chunk would get full-utterance text but last-segment-only
+        # alignment; pkg.ali_info gates only whether the payload is SENT
+        # (ref AlignTime, net-data-package.h:210)
         seg_align: list = []
-        if pkg.ali_info and self.info.fst is not None:
-            # per-word time spans (ref AlignTime, net-data-package.h:210)
+        if self.info.fst is not None:
             from asr_decoder_tpu.align.word_align import (spans_to_align,
                                                           word_spans)
             spans = word_spans(best.get("arc_ids", []),
                                self.info.fst.arc_ilabel,
-                               self.info.fst.arc_olabel, prefix_frames)
+                               self.info.fst.arc_olabel, prefix_frames,
+                               anchor=getattr(self.info.fst,
+                                              "olabel_anchor", "start"))
             seg_align = spans_to_align(spans, self.info.words,
                                        self.info.seconds_per_frame)
+        if pkg.ali_info and self.info.fst is not None:
             reply.align = prefix_align + seg_align
             reply.ali_info = True
         if pkg.score_info:

@@ -207,6 +207,61 @@ def test_word_spans_unit():
     # frame_offset shifts everything (endpoint-resumed segments)
     spans = word_spans([0, 1, 2, 3, 4, 5], ilabel, olabel, frame_offset=10)
     assert spans == [(7, 10, 12), (8, 12, 14)]
+    # end-anchored (label-pushed-late graphs): olabel arc CLOSES its span
+    #        arc:    0    1    2    3    4    5
+    ilabel = np.array([3, 4, 0, 5, 6, 0])
+    olabel = np.array([0, 0, 7, 0, 0, 8])
+    spans = word_spans([0, 1, 2, 3, 4, 5], ilabel, olabel, anchor="end")
+    assert spans == [(7, 0, 2), (8, 2, 4)]
+    # an emitting olabel arc's own frame belongs to the closing word
+    ilabel = np.array([3, 4, 5, 6])
+    olabel = np.array([0, 7, 0, 8])
+    spans = word_spans([0, 1, 2, 3], ilabel, olabel, anchor="end")
+    assert spans == [(7, 0, 2), (8, 2, 4)]
+
+
+def test_word_alignment_trie_graph_end_anchor():
+    """share_prefixes=True pushes each word's olabel to its exit arc; the
+    graph records olabel_anchor='end' and word alignment must report spans
+    covering the word's OWN frames, not its successor's (advisor r4
+    medium: the start-anchored convention silently shifted spans by one
+    word on trie graphs)."""
+    from asr_decoder_tpu.align.word_align import word_spans
+    from asr_decoder_tpu.fst.ctc_graph import build_ctc_decode_graph
+    from asr_decoder_tpu.ops.beamsearch import TpuBeamSearch
+    from asr_decoder_tpu.decoder.config import DecoderConfig
+
+    lexicon = {1: [1, 2], 2: [1, 3], 3: [3]}
+    fst, i2p = build_ctc_decode_graph(lexicon, {}, num_phones=3,
+                                      share_prefixes=True)
+    assert fst.olabel_anchor == "end"
+    from asr_decoder_tpu.fst.device_fst import DeviceFst
+    dev = DeviceFst.build(fst, arc_lanes=8)
+    cfg = DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8, max_active=64,
+                        min_active=4, eps_mode="closure",
+                        gather_impl="xla", fetch_impl="xla")
+    search = TpuBeamSearch(dev, np.asarray(i2p, np.int32), cfg)
+    # posteriors spelling word 1 (phones 1,2) then word 3 (phone 3):
+    # frames: p1 p1 p2 blank p3  → "1 3"
+    V = 5                    # blank row 0 + phones 1..3 (pdf rows 1..3)
+    seq = [1, 1, 2, 0, 3]
+    ll = np.full((1, len(seq), V), -10.0, np.float32)
+    for t, p in enumerate(seq):
+        ll[0, t, p if p else 0] = 0.0
+        if p == 0:
+            ll[0, t, 4] = -20.0
+    # blank pdf is row 0 via ilabel2pdf (blank_il -> 0)
+    st, il, lg = search.decode(ll)
+    res = search.traceback(st, il, lg, fst)[0]
+    assert res["words"] == [1, 3], res
+    spans = word_spans(res["arc_ids"], fst.arc_ilabel, fst.arc_olabel,
+                       anchor=fst.olabel_anchor)
+    assert [s[0] for s in spans] == [1, 3]
+    # word 1 owns its own acoustic frames (p1 p1 p2 + the in-word blank
+    # its path consumed), word 3 owns the trailing p3 frame — under the
+    # old start-anchored convention these spans came out shifted one
+    # word late ((1, 4, 5)-style), the advisor-r4 bug
+    assert spans == [(1, 0, 4), (3, 4, 5)], spans
 
 
 def test_server_align_payload(info):

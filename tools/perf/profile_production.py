@@ -20,7 +20,7 @@ from collections import defaultdict
 
 import numpy as np
 
-CACHE = "/tmp/prod_graph_cache.npz"
+CACHE = "/tmp/prod_graph_cache_v2.npz"
 
 
 def build_or_load_dev():
@@ -42,7 +42,8 @@ def build_or_load_dev():
             eps_dst=z["eps_dst"], eps_arcid=z["eps_arcid"],
             clo_offset=z["clo_offset"], clo_count=z["clo_count"],
             clo_dst=z["clo_dst"], clo_weight=z["clo_weight"],
-            clo_path_mat=z["clo_path_mat"])
+            clo_path_arcs=z["clo_path_arcs"],
+            clo_path_off=z["clo_path_off"])
         print(f"loaded cached graph: S={dev.num_states} "
               f"C={dev.max_closure_size}", file=sys.stderr)
         return dev
@@ -66,7 +67,8 @@ def build_or_load_dev():
              eps_dst=dev.eps_dst, eps_arcid=dev.eps_arcid,
              clo_offset=dev.clo_offset, clo_count=dev.clo_count,
              clo_dst=dev.clo_dst, clo_weight=dev.clo_weight,
-             clo_path_mat=dev.clo_path_mat)
+             clo_path_arcs=dev.clo_path_arcs,
+             clo_path_off=dev.clo_path_off)
     return dev
 
 
