@@ -48,10 +48,14 @@ def build(build_dir: str, ref_root: str = REF_ROOT) -> str:
 def run(binary: str, fst, loglikes: np.ndarray, i2p: np.ndarray, *,
         acoustic_scale: float = 1.0, beam: float = 1e9,
         max_active: int = 1 << 30, min_active: int = 0,
-        workdir: str | None = None) -> dict:
+        nbest: int = 0, workdir: str | None = None) -> dict:
     """Decode (fst, loglikes) through the reference LatticeFasterDecoder.
 
-    Returns {nonempty, cost, graph_cost, acoustic_cost, words, ilabels}.
+    Returns {nonempty, cost, graph_cost, acoustic_cost, words, ilabels}
+    plus, with ``nbest`` > 0, ``nbest``: a list of {cost, graph_cost,
+    words} dicts through the reference's own lattice pipeline
+    (GetRawLattice → DeterminizeLatticeWrapper → NShortestPath,
+    ref: src/kaldi-nnet3/kaldi-online-nnet3-my-decoder.cc:97-105).
     ``loglikes`` f32[T, V] unscaled (the decodable applies
     ``acoustic_scale``, like the reference AM wrapper); ``i2p[ilabel]`` =
     AM output row scored for that arc input label.
@@ -72,7 +76,8 @@ def run(binary: str, fst, loglikes: np.ndarray, i2p: np.ndarray, *,
             loglikes.tofile(f)
         proc = subprocess.run(
             [binary, graph_path, blob_path, repr(float(beam)),
-             str(int(max_active)), str(int(min_active))],
+             str(int(max_active)), str(int(min_active)),
+             str(int(nbest))],
             capture_output=True, text=True, timeout=600)
         if proc.returncode != 0:
             raise RuntimeError(
@@ -91,6 +96,15 @@ def run(binary: str, fst, loglikes: np.ndarray, i2p: np.ndarray, *,
                 out["acoustic_cost"] = float(parts[5])
             elif key in ("words", "ilabels"):
                 out[key] = [int(x) for x in val.split()] if val else []
+            elif key == "nbest":
+                out["nbest"] = []
+            elif key.startswith("nb") and key[2:].split()[0].isdigit():
+                parts = line.split("words=")
+                head = parts[0].replace("=", " ").split()
+                out["nbest"].append(dict(
+                    cost=float(head[2]), graph_cost=float(head[4]),
+                    words=[int(x) for x in parts[1].split()]
+                    if len(parts) > 1 and parts[1] else []))
         return out
     finally:
         if own:

@@ -29,6 +29,11 @@ g++ -std=c++11 -O2 -o "$OUT/refparity_main" \
     "$REF/src/my-decoder/lattice-faster-decoder.cc" \
     "$REF/src/newfst/lattice-fst.cc" \
     "$REF/src/newfst/lattice-functions.cc" \
+    "$REF/src/newfst/lattice-determinize-api.cc" \
+    "$REF/src/newfst/lattice-to-nbest.cc" \
+    "$REF/src/newfst/connect-fst.cc" \
+    "$REF/src/newfst/invert.cc" \
+    "$REF/src/newfst/reverse.cc" \
     "$REF/src/newfst/topsort.cc" \
     "$REF/src/newfst/dfs-visit-fst.cc" \
     "$REF/src/util/log-message.cc"

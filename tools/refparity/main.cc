@@ -6,7 +6,8 @@
 // loglikes matrix, then prints the 1-best path so a pytest harness can
 // assert that TpuBeamSearch produces identical words and cost.
 //
-// Usage: refparity_main GRAPH.fst INPUT.blob [beam max_active min_active]
+// Usage: refparity_main GRAPH.fst INPUT.blob [beam max_active min_active
+//                                             nbest]
 //
 // INPUT.blob layout (little-endian, written by decoder/ref_parity.py):
 //   i32 T, i32 V, i32 L, f32 acoustic_scale,
@@ -19,6 +20,12 @@
 //   cost=<float> graph=<float> acoustic=<float>
 //   words=w1 w2 ...
 //   ilabels=i1 i2 ...
+// and with nbest=N > 0, the reference's own lattice n-best pipeline
+// (GetRawLattice -> DeterminizeLatticeWrapper -> NShortestPath ->
+// ConvertNbestToVector, exactly OnlineClgLatticeFastDecoder::GetNbest,
+// ref: src/kaldi-nnet3/kaldi-online-nnet3-my-decoder.cc:97-105):
+//   nbest=k
+//   nb<i> cost=<float> graph=<float> words=w1 w2 ...
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -26,8 +33,10 @@
 
 #include "src/itf/decodable-itf.h"
 #include "src/my-decoder/lattice-faster-decoder.h"
+#include "src/newfst/lattice-determinize-api.h"
 #include "src/newfst/lattice-fst.h"
 #include "src/newfst/lattice-functions.h"
+#include "src/newfst/lattice-to-nbest.h"
 #include "src/newfst/optimize-fst.h"
 
 // Matrix-backed decodable: LogLikelihood(frame, ilabel) returns the
@@ -101,6 +110,7 @@ int main(int argc, char** argv) {
   if (argc > 3) config._beam = std::atof(argv[3]);
   if (argc > 4) config._max_active = std::atoi(argv[4]);
   if (argc > 5) config._min_active = std::atoi(argv[5]);
+  int nbest = (argc > 6) ? std::atoi(argv[6]) : 0;
 
   MatrixDecodable decodable(ll, T, V, i2p, scale);
   LatticeFasterDecoder decoder(&graph, config);
@@ -148,5 +158,33 @@ int main(int argc, char** argv) {
   for (size_t i = 0; i < ilabels.size(); ++i)
     std::printf("%s%d", i ? " " : "", ilabels[i]);
   std::printf("\n");
+
+  if (nbest > 0) {
+    // the reference's own n-best pipeline (GetNbest, ref:
+    // kaldi-online-nnet3-my-decoder.cc:97-105): raw lattice ->
+    // lattice determinize (best pdf-seq per word-seq) -> NShortestPath
+    // -> split into linear lattices -> word/score extraction
+    Lattice raw2, det, nbest_lat;
+    if (!decoder.GetRawLattice(&raw2, /*use_final_probs=*/true)) return 0;
+    DeterminizeLatticeOptions dopts;
+    bool debug = false;
+    if (!DeterminizeLatticeWrapper(&raw2, &det, dopts, &debug)) {
+      std::printf("nbest=0\n");
+      return 0;
+    }
+    NShortestPath(det, &nbest_lat, (size_t)nbest);
+    std::vector<Lattice> paths;
+    ConvertNbestToVector(nbest_lat, &paths);
+    std::printf("nbest=%d\n", (int)paths.size());
+    for (size_t i = 0; i < paths.size(); ++i) {
+      std::vector<int> ws, ps;
+      float tot = 0, lm = 0;
+      if (!LatticeToVector(paths[i], ws, ps, tot, lm)) continue;
+      std::printf("nb%d cost=%.6f graph=%.6f words=", (int)i, tot, lm);
+      for (size_t j = 0; j < ws.size(); ++j)
+        std::printf("%s%d", j ? " " : "", ws[j]);
+      std::printf("\n");
+    }
+  }
   return 0;
 }
