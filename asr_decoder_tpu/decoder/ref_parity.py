@@ -96,6 +96,9 @@ def run(binary: str, fst, loglikes: np.ndarray, i2p: np.ndarray, *,
                 out["acoustic_cost"] = float(parts[5])
             elif key in ("words", "ilabels"):
                 out[key] = [int(x) for x in val.split()] if val else []
+            elif key == "arcs":
+                out["arcs"] = [tuple(int(x) for x in p.split(":"))
+                               for p in val.split()] if val else []
             elif key == "nbest":
                 out["nbest"] = []
             elif key.startswith("nb") and key[2:].split()[0].isdigit():

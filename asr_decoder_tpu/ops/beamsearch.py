@@ -208,9 +208,17 @@ def packed_lanes(A: int, C: int) -> int:
     return 0
 
 
-def make_packed_graph(dev: DeviceFst, ilabel2pdf: np.ndarray
+def make_packed_graph(dev: DeviceFst, ilabel2pdf: np.ndarray,
+                      pack_pages: bool = True
                       ) -> tuple[PackedGraph, int, int]:
-    """Build the v3 page table; returns (graph, states_per_page, lanes)."""
+    """Build the v3 state-record table; returns (graph, states_per_page,
+    lanes).
+
+    ``pack_pages=True``: 128-lane page rows, several states per page — the
+    layout the DMA fetch kernel needs (HBM rows must be 128-lane tiles).
+    ``pack_pages=False``: a NARROW ``[S, lanes]`` table for the XLA-gather
+    fetch — XLA's TPU row gather is per-index-cost at narrow widths but
+    falls off a cliff on 128-lane rows (measured µs/row at [2M, 128])."""
     assert dev.clo_offset is not None, "call dev.build_closure() first"
     ilabel2pdf = np.asarray(ilabel2pdf, np.int32)
     A = max(dev.max_em_degree, 1)
@@ -228,7 +236,15 @@ def make_packed_graph(dev: DeviceFst, ilabel2pdf: np.ndarray
             _pad_block(dev.clo_offset, dev.clo_count, C, dev.clo_dst, -1),
             _pad_block(dev.clo_offset, dev.clo_count, C, dev.clo_weight, 0),
         ]
-    pages, spp = pack_state_records(blocks, lanes)
+    if pack_pages:
+        pages, spp = pack_state_records(blocks, lanes)
+    else:
+        pages = np.concatenate(
+            [b.view(np.int32) if b.dtype == np.float32 else b
+             for b in blocks], axis=1)
+        if pages.shape[1] < lanes:
+            pages = np.pad(pages, ((0, 0), (0, lanes - pages.shape[1])))
+        spp = 1
     return (PackedGraph(pages=jnp.asarray(pages),
                         start=jnp.int32(dev.start),
                         final_state=jnp.int32(dev.final_state)),
@@ -720,10 +736,17 @@ class TpuBeamSearch:
 
         K = min(cfg.beam_width, cfg.max_active)
         if relax == "topk":
-            self.pgraph, spp, lanes = make_packed_graph(dev, ilabel2pdf)
+            # fetch auto rule (measured on v5e, tools/perf/bench_points.py):
+            # XLA's narrow row gather wins on small tables (~11 ns/idx at
+            # 200k rows) but degrades TLB-bound with table size (~50 ns at
+            # 2M); the per-row DMA pipeline is flat (~35 ns) AND fetches
+            # only live tokens — crossover ≈ 1M states
+            fetch = cfg.fetch_impl or (
+                "dma" if _on_tpu_backend() and dev.num_states >= 1_000_000
+                else "xla")
+            self.pgraph, spp, lanes = make_packed_graph(
+                dev, ilabel2pdf, pack_pages=(fetch == "dma"))
             self.graph = None
-            fetch = cfg.fetch_impl or ("dma" if _on_tpu_backend()
-                                       else "xla")
             self._static = tuple(sorted(dict(
                 K=K, A=A, C=C, spp=spp, lanes=lanes,
                 F=int(cfg.topk_overfetch),

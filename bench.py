@@ -4,8 +4,19 @@ Pipeline benchmarked — the reference's canonical serve path (SURVEY §3.1:
 fbank → AM forward → WFST beam search), batched:
   16 kHz waveform batch → 80-dim fbank → flagship projected-LSTM AM with
   frame-subsampling 3 → batched frame-synchronous Viterbi beam search with
-  full lattice/backpointer logging over a synthetic HCLG-shaped graph →
-  per-utterance token beams.
+  full lattice/backpointer logging → per-utterance token beams.
+
+Three operating points:
+  * headline — 200k-state HCLG-shaped graph, 256 concurrent streams,
+    max_active 512 (the batched-serving sweet spot).
+  * production — a COMPOSED ≥2M-state TLG (lexicon tries over a synthetic
+    4-gram ARPA LM built with the repo's own lm/arpa + fst/tlg tools —
+    the reference's production HCLG regime: multi-million states, LM
+    backoff topology, skewed degrees; ref conf
+    src/v1-asrbin/conf/decoder.conf max-active 7000) at max_active 4096
+    with realistic peaked posteriors; graph load is timed end-to-end.
+  * realistic — 30k-word single-hub trie TLG at max_active 1024 (kept for
+    cross-round continuity).
 
 Metric: aggregate audio-seconds decoded per wall-second per chip
 (BASELINE.json).  vs_baseline: the reference's production CPU serving
@@ -13,9 +24,11 @@ configuration decodes ~60 concurrent real-time streams per node
 (--nthread=60 at decoder rt ≈ 1.0, ref: src/v2-asrbin/conf/v2-conf.txt),
 i.e. ~60 audio-seconds/s — vs_baseline = (audio-s/s per chip) / 60.
 
-Timing note: device completion is forced by fetching a reduced scalar —
+Timing notes: device completion is forced by fetching a reduced scalar —
 ``jax.block_until_ready`` alone does not reliably block on the tunneled
-backend used by the test harness.
+backend used by the test harness.  Times are the MIN over iters: the axon
+tunnel adds large run-to-run variance from pool contention (2-6× observed
+on identical programs); min is the device-capability number.
 
 Prints exactly one JSON line.
 """
@@ -35,16 +48,44 @@ BASELINE_AUDIO_S_PER_S = 60.0   # one reference CPU node (60 threads @ RTF 1)
 
 def _force(x) -> float:
     leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
-    return float(sum(jnp.sum(l[..., -1].astype(jnp.float32))
-                     for l in leaves))
+    return float(sum(jnp.sum(jnp.where(jnp.isfinite(
+        l[..., -1].astype(jnp.float32)), l[..., -1].astype(jnp.float32),
+        0.0)) for l in leaves))
 
 
 def _time(fn, *args, iters=3):
     _force(fn(*args))
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         _force(fn(*args))
-    return (time.perf_counter() - t0) / iters
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _tlg_posteriors(rng, lexicon, num_phones, B, T):
+    """Realistic peaked posteriors over a TLG's phone set: word sequences
+    rendered as per-phone template frames + noise, log-softmax scored
+    (the eval harness's template model, eval/synth_task.py)."""
+    t = rng.standard_normal((num_phones + 1, 24))
+    templates = (t / np.linalg.norm(t, axis=1, keepdims=True)
+                 ).astype(np.float32) * 2.0
+    words = sorted(lexicon)
+    lls = np.zeros((B, T, num_phones + 1), np.float32)
+    for b in range(B):
+        rows = [0, 0]
+        while len(rows) < T:
+            w = words[int(rng.integers(0, len(words)))]
+            for q in lexicon[w]:
+                rows.extend([q] * int(rng.integers(2, 5)))
+            if rng.random() < 0.5:
+                rows.append(0)
+        rows = rows[:T]
+        feats = templates[np.array(rows)] + \
+            rng.standard_normal((T, 24)).astype(np.float32) * 0.35
+        sc = feats @ templates.T
+        lls[b] = sc - np.log(np.exp(sc).sum(axis=1, keepdims=True))
+    return lls
 
 
 def main(quick: bool = False, profile_dir: str | None = None):
@@ -60,8 +101,6 @@ def main(quick: bool = False, profile_dir: str | None = None):
     sr = 16000
     secs = 8.0
     # 256 concurrent streams per chip: measured batch-scaling sweet spot
-    # (fixed per-dispatch costs amortize: 1985 → 2895 search audio-s/s
-    # going 128 → 256; 512 adds only +8% more)
     batch = 256 if not quick else 4
     num_pdfs = 2048
     skip = 2  # frame-subsampling-factor 3 (ref conf)
@@ -93,6 +132,7 @@ def main(quick: bool = False, profile_dir: str | None = None):
 
     am_jit = jax.jit(am_fn)
     ll = am_jit(wave)
+    jax.block_until_ready(ll)
     state0, _ = search.init_state(batch)
 
     def pipeline(w):
@@ -114,46 +154,70 @@ def main(quick: bool = False, profile_dir: str | None = None):
     audio_s = batch * secs
     audio_s_per_s = audio_s / dt
 
-    # production-scale operating point (ref conf: multi-million-state HCLG
-    # at max-active 7000, src/v1-asrbin/conf/decoder.conf): a ≥2M-state /
-    # ≥10M-arc graph decoded at max_active 4096, with the graph load timed
-    # (build + ε-closure + device upload)
+    # production point: COMPOSED ≥2M-state TLG (trie lexicon ∘ synthetic
+    # 4-gram ARPA, built with the repo's own LM/graph tools) at
+    # max_active 4096 — the reference's production regime (multi-million
+    # state graph, LM backoff topology; ref conf decoder.conf
+    # max-active 7000).  Load time = ARPA gen+parse + compose + ε-closure
+    # + device upload, all timed.
     prod = None
     if not quick:
+        from asr_decoder_tpu.fst.tlg import build_tlg
+        from asr_decoder_tpu.lm.arpa import parse_arpa
+        from asr_decoder_tpu.lm.synth_arpa import synth_arpa_text
         rng2 = np.random.default_rng(1)
+        num_phones = 40
         t0 = time.perf_counter()
-        fst2 = random_hclg(rng2, num_states=2_000_000,
-                           num_ilabels=num_pdfs)
+        text = synth_arpa_text(vocab_size=40_000, n_bigram=220_000,
+                               n_trigram=130_000, n_4gram=60_000, seed=1)
+        fsa = parse_arpa(text)
+        lexicon = {}
+        for wname, wid in fsa.vocab.items():
+            if not wname.startswith("w"):
+                continue
+            n = int(rng2.integers(3, 8))
+            ph = [int(rng2.integers(1, num_phones + 1))]
+            while len(ph) < n:
+                p = int(rng2.integers(1, num_phones + 1))
+                if p != ph[-1]:
+                    ph.append(p)
+            lexicon[wid] = ph
+        fst2, i2p2 = build_tlg(lexicon, fsa, num_phones)
         t_gen = time.perf_counter() - t0
         t0 = time.perf_counter()
-        dev2 = DeviceFst.build(fst2, arc_lanes=8)
-        cfg2 = DecoderConfig(beam=14.0, beam_width=4096, arc_lanes=8,
+        dev2 = DeviceFst.build(fst2, arc_lanes=16)
+        cfg2 = DecoderConfig(beam=13.0, beam_width=4096, arc_lanes=16,
                              max_active=4096, min_active=200,
                              eps_mode="closure")
-        search2 = TpuBeamSearch(dev2, ilabel2pdf, cfg2)
+        search2 = TpuBeamSearch(dev2, np.asarray(i2p2, np.int32), cfg2)
         t_load = time.perf_counter() - t0
-        bp = 32
-        ll2 = jnp.asarray(
-            rng2.standard_normal((bp, ll.shape[1], num_pdfs)) * 3,
-            jnp.float32)
+        bp, Tp = 32, 264
+        ll2 = jnp.asarray(_tlg_posteriors(rng2, lexicon, num_phones,
+                                          bp, Tp))
+        jax.block_until_ready(ll2)
         st2, _ = search2.init_state(bp)
         t_s2 = _time(lambda l: search2.advance(st2, l)[0], ll2, iters=iters)
-        prod_audio_s = bp * secs
+        stf, _ = search2.advance(st2, ll2)
+        live = (np.asarray(stf.tok_cost) < np.inf).sum(axis=1)
+        prod_audio_s = bp * Tp / 100.0
         prod = {
+            "graph": "composed TLG (trie ∘ 4-gram ARPA)",
             "graph_states": int(dev2.num_states),
             "graph_arcs": int(fst2.num_arcs),
+            "lm_states": int(fsa.num_states),
+            "vocab": 40_000,
             "max_active": cfg2.max_active,
             "batch": bp,
+            "frames": Tp,
+            "relax": search2.relax_impl,
+            "live_mean": int(live.mean()),
             "search_audio_s_per_s": round(prod_audio_s / t_s2, 1),
             "search_ms": round(t_s2 * 1e3, 1),
-            "graph_gen_s": round(t_gen, 1),
+            "graph_build_s": round(t_gen, 1),
             "graph_load_s": round(t_load, 1),
         }
 
-    # bench realism: a REAL-topology decode graph (trie TLG over a
-    # 30k-word lexicon — blank/repeat self-loops, ε word exits, shared
-    # prefixes) decoded over REALISTIC posteriors (template-score
-    # log-softmax: peaked, near-tied) at a production-ish operating point
+    # realistic single-hub trie TLG (kept for cross-round continuity)
     realistic = None
     if not quick:
         from asr_decoder_tpu.eval.synth_task import SynthTask
@@ -183,6 +247,7 @@ def main(quick: bool = False, profile_dir: str | None = None):
             lls3[b, :len(lp)] = lp
             lls3[b, len(lp):] = lp[-1]
         lls3 = jnp.asarray(lls3)
+        jax.block_until_ready(lls3)
         st3, _ = search3.init_state(Br)
         t_s3 = _time(lambda l: search3.advance(st3, l)[0], lls3,
                      iters=iters)
@@ -193,6 +258,7 @@ def main(quick: bool = False, profile_dir: str | None = None):
             "max_active": cfg3.max_active,
             "batch": Br,
             "posteriors": "template-softmax",
+            "relax": search3.relax_impl,
             "search_audio_s_per_s": round(Br * Tr / 100.0 / t_s3, 1),
             "search_ms": round(t_s3 * 1e3, 1),
             "graph_load_s": round(t_load3, 1),
@@ -207,11 +273,13 @@ def main(quick: bool = False, profile_dir: str | None = None):
             "batch": batch, "wave_secs": secs,
             "graph_states": dev.num_states,
             "beam_width": cfg.beam_width,
+            "relax": search.relax_impl,
             "am_audio_s_per_s": round(audio_s / t_am, 1),
             "search_audio_s_per_s": round(audio_s / t_search, 1),
             "am_ms": round(t_am * 1e3, 1),
             "search_ms": round(t_search * 1e3, 1),
             "frames": int(ll.shape[1]),
+            "timing": "min over iters (tunnel variance)",
             "production": prod,
             "realistic": realistic,
         },

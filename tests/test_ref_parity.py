@@ -273,3 +273,39 @@ def test_nbest_matches_reference_pipeline(ref_binary):
         nat = nshortest_bytes(det.to_bytes(), 5)
         assert [p["words"] for p in nat] == [r["words"]
                                              for r in ref["nbest"]]
+
+
+def test_word_spans_match_reference_traceback(ref_binary):
+    """Word-span cross-check (VERDICT r4 #8): per-word frame spans derived
+    from OUR best path (align/word_align.word_spans) equal spans derived
+    from the REFERENCE's own best-path arc stream under the reference's
+    AlignTime interpretation ("each time you see a nonzero ilabel you can
+    interpret that as a frame",
+    ref: src/my-decoder/lattice-faster-decoder.h:129-137)."""
+    from asr_decoder_tpu.align.word_align import word_spans
+
+    rng = np.random.default_rng(21)
+    num_labels = 8
+    fst = random_decode_graph(rng, num_states=40, num_labels=num_labels)
+    i2p = np.arange(num_labels + 1, dtype=np.int32)
+    T, V = 25, num_labels + 1
+    loglikes = (rng.standard_normal((T, V)) * 3).astype(np.float32)
+    ours, ref = _decode_both(ref_binary, fst, loglikes, i2p)
+    assert ours["words"] == ref["words"] and ref.get("arcs")
+
+    # reference-side spans from ITS arc stream, word-start anchored
+    spans_ref = []
+    frame = 0
+    for il, ol in ref["arcs"]:
+        if ol != 0:
+            if spans_ref:
+                spans_ref[-1][2] = frame
+            spans_ref.append([ol, frame, frame])
+        if il != 0:
+            frame += 1
+    if spans_ref:
+        spans_ref[-1][2] = frame
+
+    spans_ours = word_spans(ours["arc_ids"], fst.arc_ilabel,
+                            fst.arc_olabel)
+    assert spans_ours == [tuple(s) for s in spans_ref]

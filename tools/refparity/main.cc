@@ -158,6 +158,25 @@ int main(int argc, char** argv) {
   for (size_t i = 0; i < ilabels.size(); ++i)
     std::printf("%s%d", i ? " " : "", ilabels[i]);
   std::printf("\n");
+  // full interleaved best-path arc labels (ilabel:olabel per arc, zeros
+  // included) — the reference's AlignTime interpretation derives per-word
+  // frame spans from exactly this stream ("each time you see a nonzero
+  // ilabel you can interpret that as a frame",
+  // ref: src/my-decoder/lattice-faster-decoder.h:129-137)
+  {
+    std::printf("arcs=");
+    StateId s2 = best.Start();
+    bool first = true;
+    while (true) {
+      LatticeState* st = best.GetState(s2);
+      if (st == NULL || st->GetArcSize() == 0) break;
+      LatticeArc* arc = st->GetArc(0);
+      std::printf("%s%d:%d", first ? "" : " ", arc->_input, arc->_output);
+      first = false;
+      s2 = arc->_to;
+    }
+    std::printf("\n");
+  }
 
   if (nbest > 0) {
     // the reference's own n-best pipeline (GetNbest, ref:
