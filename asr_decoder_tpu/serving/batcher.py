@@ -118,6 +118,34 @@ class BatchedStreamingDecoder:
         D = info.am_layers[0].input_dim if info.am_layers else 0
         self._feat_dim = D
         self._zeros_chunk = np.zeros((C, D), np.float32)
+        # deferred device→host log fetch (AM/search ↔ host overlap):
+        # (advanced, valid, device log pytree, device loglikes)
+        self._pending: tuple | None = None
+
+    # -- deferred log materialization (dispatch overlap) -------------------
+    def _flush_logs(self) -> None:
+        """Materialize the previous tick's per-channel logs.  step() defers
+        this so the host can pack + dispatch tick t+1 while tick t still
+        executes on device and its logs stream back — the arena-level
+        AM/search overlap (JAX async dispatch; the reference's analogue is
+        the gpu-asr pipeline's decoupled compute/callback threads,
+        ref: src/gpu-asr/v1-gpu-kaldi-worker-pool.h:74-190)."""
+        if self._pending is None:
+            return
+        advanced, valid, log, loglikes = self._pending
+        self._pending = None
+        log_np = jax.tree_util.tree_map(np.asarray, log)
+        ll_np = np.asarray(loglikes)
+        for cid in advanced:
+            ch = self._channels[cid]
+            if ch is None:          # released mid-flight
+                continue
+            v = int(valid[cid])
+            ch.chunk_logs.append(jax.tree_util.tree_map(
+                lambda a, v=v, c=cid: (a[:v, :, c:c + 1] if a.ndim >= 4
+                                       else a[:v, c:c + 1]), log_np))
+            ch.loglikes.append(ll_np[cid, :v])
+            ch.frames_decoded += v
 
     # -- channel lifecycle (explicit slots; no corr-id collisions) ---------
     def acquire(self) -> int:
@@ -156,6 +184,7 @@ class BatchedStreamingDecoder:
         """Restart the channel's search only, keeping feature/AM streaming
         state — the mid-stream endpoint restart (ref InitDecoding
         (frame_offset), kaldi-online-nnet3-my-decoder.h:301-324)."""
+        self._flush_logs()
         ch = self._channels[cid]
         assert ch is not None
         idx = jnp.asarray(np.asarray([cid], np.int32))
@@ -170,6 +199,7 @@ class BatchedStreamingDecoder:
     def endpoint_detected(self, cid: int) -> bool:
         """ref EndpointDetected (kaldi-online-nnet3-my-decoder.h:344);
         needs use_energy_vad."""
+        self._flush_logs()
         cfg = self.info.config
         ch = self._channels[cid]
         return (ch is not None
@@ -273,27 +303,25 @@ class BatchedStreamingDecoder:
             mask = mask & ~blank_frame_mask(loglikes, ac.block_pdf_pdfid,
                                             ac.acoustic_scale)
         self._beam, log = info.search.advance(self._beam, loglikes, mask)
-        # split the batched log into per-channel chunks (host side) —
+        # materialize the PREVIOUS tick's logs now that this tick is
+        # dispatched (its transfer overlaps this tick's device compute)
+        self._flush_logs()
+        # DON'T materialize the logs yet: stash the device arrays and
+        # return — the fetch happens lazily (next step() after t+1's
+        # dispatch, or on first result read), overlapping device compute
+        # with the device→host log transfer.  Log splitting itself is
         # generic over the decoder variant's log pytree: every leaf has a
         # leading T axis, then either (stages, B, ...) for ndim ≥ 4 or
         # (B, ...) otherwise (covers hclg FrameLog, BigLmFrameLog incl.
         # its [T, B] overflow leaf, and the CLG plain-tuple log)
-        log_np = jax.tree_util.tree_map(np.asarray, log)
-        ll_np = np.asarray(loglikes)
-        for cid in advanced:
-            v = int(valid[cid])
-            ch = self._channels[cid]
-            ch.chunk_logs.append(jax.tree_util.tree_map(
-                lambda a, v=v, c=cid: (a[:v, :, c:c + 1] if a.ndim >= 4
-                                       else a[:v, c:c + 1]), log_np))
-            ch.loglikes.append(ll_np[cid, :v])
-            ch.frames_decoded += v
+        self._pending = (advanced, valid, log, loglikes)
         return advanced
 
     def drain(self) -> None:
         """Run steps until no channel has ready work."""
         while self.pending_work():
             self.step()
+        self._flush_logs()
 
     # -- results -------------------------------------------------------------
     #
@@ -313,6 +341,7 @@ class BatchedStreamingDecoder:
 
     def snapshot(self, cid: int):
         """Immutable result-state snapshot of a channel (cheap)."""
+        self._flush_logs()
         ch = self._channels[cid]
         return ChannelSnapshot(
             beam=self._channel_beam(cid),
