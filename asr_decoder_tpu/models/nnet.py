@@ -277,3 +277,31 @@ def blank_frame_mask(loglikes, block_pdf_pdfid: int,
     scale is applied to the blank score before thresholding."""
     return (acoustic_scale * loglikes[..., block_pdf_pdfid]
             > BLANK_SKIP_LOGPROB)
+
+
+def pack_nonblank_frames(loglikes, block_pdf_pdfid: int,
+                         acoustic_scale: float = 1.0,
+                         thresh: float | None = None):
+    """Drop skippable blank-dominated frames and left-pack the rest.
+
+    ``loglikes`` f32[B, T, V] → (packed f32[B, T', V], mask bool[B, T'])
+    with T' = max per-utterance kept count — the batched analogue of the
+    reference's SkipBlockFrame frame skipping (ref: nnet-nnet.h:265-275):
+    skipped frames never reach the search at all, so decode cost scales
+    with the non-blank frame count.  ``thresh`` overrides the default
+    unnormalized-score threshold (use ≈ log(0.95) for log-softmax
+    posteriors)."""
+    import numpy as _np
+    ll = _np.asarray(loglikes)
+    cut = BLANK_SKIP_LOGPROB if thresh is None else thresh
+    keep = ~(acoustic_scale * ll[..., block_pdf_pdfid] > cut)
+    counts = keep.sum(axis=1)
+    Tp = max(int(counts.max()), 1)
+    B, T, V = ll.shape
+    out = _np.zeros((B, Tp, V), ll.dtype)
+    mask = _np.zeros((B, Tp), bool)
+    for b in range(B):
+        k = ll[b][keep[b]]
+        out[b, :len(k)] = k
+        mask[b, :len(k)] = True
+    return out, mask

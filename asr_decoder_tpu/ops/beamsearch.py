@@ -57,6 +57,8 @@ INF = jnp.inf
 NO_STATE = -1
 BIG_STATE = 2**31 - 1   # sort key for dead candidates
 ARC_STAY = -2           # log sentinel: token carried, no arc taken
+CLO_BIT = 1 << 30       # v3 dst marker: destination state has ε-closure
+                        # entries (graphs must have < 2^30 states)
 
 
 class GraphArrays(NamedTuple):
@@ -226,8 +228,16 @@ def make_packed_graph(dev: DeviceFst, ilabel2pdf: np.ndarray,
     lanes = packed_lanes(A, C)
     assert lanes, f"state record too wide for a page: A={A} C={C}"
     em_pdf = ilabel2pdf[dev.em_ilabel]
+    em_dst = dev.em_dst.astype(np.int32)
+    if C:
+        # ε-presence marker: tokens landing on a bit-free state skip the
+        # closure fetch AND its candidate lanes entirely (most states of
+        # a trie/HCLG have no ε out-arcs)
+        assert dev.num_states < CLO_BIT, "graph too large for CLO_BIT"
+        em_dst = np.where((em_dst >= 0) & (dev.clo_count[em_dst] > 0),
+                          em_dst | CLO_BIT, em_dst)
     blocks = [
-        _pad_block(dev.em_offset, dev.em_count, A, dev.em_dst, -1),
+        _pad_block(dev.em_offset, dev.em_count, A, em_dst, -1),
         _pad_block(dev.em_offset, dev.em_count, A, em_pdf, 0),
         _pad_block(dev.em_offset, dev.em_count, A, dev.em_weight, 0),
     ]
@@ -444,7 +454,8 @@ def _frame_step(g: GraphArrays, state, cost, ll, *, cfg):
 # v3 (relax_impl=topk) stages: top-k-first relax + live-adaptive page fetch
 # ----------------------------------------------------------------------
 
-def _relax_topk(dst, cost, *, K, beam, min_active, F, gather_impl):
+def _relax_topk(dst, cost, *, K, beam, min_active, F, gather_impl,
+                clo_first=False):
     """Top-k-first min-merge + prune (the v3 `FindOrAddToken`+`GetCutoff`).
 
     Instead of sorting the full [B, N] candidate field by destination
@@ -486,11 +497,23 @@ def _relax_topk(dst, cost, *, K, beam, min_active, F, gather_impl):
     first = jnp.concatenate(
         [jnp.ones((B, 1), bool), d_s[:, 1:] != d_s[:, :-1]], axis=1)
     c_s = jnp.where(first & (d_s != BIG_STATE), c_s, INF)
-    # re-prune to K distinct, restoring cost order (= live-prefix compaction)
-    negc2, pos = jax.lax.top_k(-c_s, K)
-    cost2 = -negc2
-    alive = jnp.isfinite(cost2)
-    pos = jnp.where(alive, pos, 0)
+    # re-prune to K distinct (= live-prefix compaction).  With clo_first,
+    # tokens whose destination carries the CLO_BIT ε-presence marker sort
+    # to the FRONT of the beam, so the closure stage's page fetch runs a
+    # dynamic trip count of just those tokens.
+    if clo_first:
+        bit_s = jnp.where(d_s != BIG_STATE, (d_s >> 30) & 1, 0)
+        val = jnp.where(jnp.isfinite(c_s),
+                        bit_s.astype(jnp.float32) * 1e9 - c_s, -INF)
+        _, pos = jax.lax.top_k(val, K)
+        cost2 = batched_table_gather(c_s, pos, force=gather_impl)
+        alive = jnp.isfinite(cost2)
+        pos = jnp.where(alive, pos, 0)
+    else:
+        negc2, pos = jax.lax.top_k(-c_s, K)
+        cost2 = -negc2
+        alive = jnp.isfinite(cost2)
+        pos = jnp.where(alive, pos, 0)
     state2 = jnp.where(alive,
                        batched_table_gather(d_s, pos, force=gather_impl),
                        NO_STATE)
@@ -529,30 +552,39 @@ def _emit_stage_v3(pg: PackedGraph, state, cost, ll, *, cfg):
         state2, cost2, fi, alive, _ = _relax_topk(
             dstN, candN, K=K, beam=cfg["beam"],
             min_active=cfg["min_active"], F=cfg["F"],
-            gather_impl=cfg["gather_impl"])
+            gather_impl=cfg["gather_impl"], clo_first=cfg["C"] > 0)
         prev = jnp.where(alive, fi // A, 0)
         aid = jnp.where(alive, fi, ARC_STAY)
         return state2, cost2, prev, aid
 
 
 def _clo_stage_v3(pg: PackedGraph, state, cost, *, cfg):
-    """ProcessNonemitting, v3: fetch the post-emit states' pages, relax
-    their precomputed ε-closure entries plus a per-token stay block."""
+    """ProcessNonemitting, v3: fetch the post-emit states' pages — but only
+    for tokens whose state carries the CLO_BIT ε-presence marker (the emit
+    relax sorted them to the beam front, so the fetch trip count is just
+    the ε-bearing tokens, usually a small fraction on trie/HCLG graphs) —
+    then relax their precomputed ε-closure entries plus a per-token stay
+    block for every live token."""
     with jax.named_scope("search/eps3"):
         K, A, C = cfg["K"], cfg["A"], cfg["C"]
         B = state.shape[0]
         N = K * C
-        rows = fetch_pages(pg.pages, state, _live_count(state),
+        valid = state != NO_STATE
+        has_clo = valid & ((state >> 30) & 1).astype(bool)
+        clean = jnp.where(valid, state & ~CLO_BIT, state)
+        live_clo = jnp.sum(has_clo, axis=1, dtype=jnp.int32)
+        rows = fetch_pages(pg.pages, clean, live_clo,
                            cfg["spp"], cfg["lanes"], impl=cfg["fetch_impl"])
         dstN = rows[:, :, 3 * A:3 * A + C].reshape(B, N)
         wN = _bits_to_f32(rows[:, :, 3 * A + C:3 * A + 2 * C]).reshape(B, N)
-        valid = state != NO_STATE
-        validN = jnp.repeat(valid, C, axis=1)
+        # bit-free tokens' rows were never fetched (garbage): mask their
+        # candidate lanes by the marker, not by the fetched content
+        validN = jnp.repeat(has_clo, C, axis=1)
         emask = validN & (dstN >= 0)
         candN = jnp.where(emask, jnp.repeat(cost, C, axis=1) + wN, INF)
         dstN = jnp.where(emask, dstN, BIG_STATE)
         dst_all = jnp.concatenate(
-            [dstN, jnp.where(valid, state, BIG_STATE)], axis=1)
+            [dstN, jnp.where(valid, clean, BIG_STATE)], axis=1)
         cand_all = jnp.concatenate(
             [candN, jnp.where(valid, cost, INF)], axis=1)
         state2, cost2, fi, alive, _ = _relax_topk(
@@ -582,7 +614,9 @@ def _init_fn_v3(pg: PackedGraph, batch: int, static_cfg: tuple):
     K = cfg["K"]
     state = jnp.full((batch, K), NO_STATE, jnp.int32)
     cost = jnp.full((batch, K), INF, jnp.float32)
-    state = state.at[:, 0].set(pg.start)
+    # unconditional CLO_BIT on the start token: the closure stage fetches
+    # its page (harmless if start has no ε; padding lanes are masked)
+    state = state.at[:, 0].set(pg.start | (CLO_BIT if cfg["C"] > 0 else 0))
     cost = cost.at[:, 0].set(0.0)
     if cfg["C"] > 0:
         state, cost, prev, aid = _clo_stage_v3(pg, state, cost, cfg=cfg)
@@ -604,15 +638,33 @@ def _advance_fn_v3(pg: PackedGraph, state: BeamState, inputs,
     def scan_body(carry, xs):
         st, co = carry
         ll, mask = xs
-        ns, nc, prev, aid = _frame_step_v3(pg, st, co, ll, cfg=cfg)
-        slot_id = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2), prev.shape)
-        m = mask[:, None]
-        ns = jnp.where(m, ns, st)
-        nc = jnp.where(m, nc, co)
-        m3 = mask[None, :, None]
-        prev = jnp.where(m3, prev, slot_id)
-        aid = jnp.where(m3, aid, ARC_STAY)
+        slot3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+        S_log = 1 + int(cfg["C"] > 0)
+
+        def live_frame(args):
+            st, co, ll, mask = args
+            ns, nc, prev, aid = _frame_step_v3(pg, st, co, ll, cfg=cfg)
+            slot_id = jnp.broadcast_to(slot3, prev.shape)
+            m = mask[:, None]
+            ns = jnp.where(m, ns, st)
+            nc = jnp.where(m, nc, co)
+            m3 = mask[None, :, None]
+            prev = jnp.where(m3, prev, slot_id)
+            aid = jnp.where(m3, aid, ARC_STAY)
+            return ns, nc, prev, aid
+
+        def dead_frame(args):
+            st, co, ll, mask = args
+            B = st.shape[0]
+            prev = jnp.broadcast_to(slot3, (S_log, B, K))
+            aid = jnp.full((S_log, B, K), ARC_STAY, jnp.int32)
+            return st, co, prev, aid
+
+        # whole-batch masked frames (blank-skip packed tails, chunk
+        # padding) skip the frame step entirely — the analogue of the
+        # reference's SkipBlockFrame fast path (ref nnet-nnet.h:265-275)
+        ns, nc, prev, aid = jax.lax.cond(
+            jnp.any(mask), live_frame, dead_frame, (st, co, ll, mask))
         ys = [prev, aid]
         if cfg["log_snapshots"]:
             ys += [ns, nc]

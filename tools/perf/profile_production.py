@@ -139,5 +139,113 @@ def main():
         print(f"{us/1e3:9.2f} ms  x{cnt[name]:<6} {name[:110]}")
 
 
+
+
+
+def main_tlg():
+    """Profile the composed-TLG production point (bench.py prod config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_decoder_tpu.decoder.config import DecoderConfig
+    from asr_decoder_tpu.fst.device_fst import DeviceFst
+    from asr_decoder_tpu.fst.tlg import build_tlg
+    from asr_decoder_tpu.lm.arpa import parse_arpa
+    from asr_decoder_tpu.lm.synth_arpa import synth_arpa_text
+    from asr_decoder_tpu.ops.beamsearch import TpuBeamSearch
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    cache = "/tmp/tlg_graph_cache.npz"
+    rng2 = np.random.default_rng(1)
+    num_phones = 40
+    import pickle
+    pcache = "/tmp/tlg_graph_cache.pkl"
+    if os.path.exists(pcache):
+        with open(pcache, "rb") as f:
+            dev, i2p2, lexicon = pickle.load(f)
+        print(f"loaded cached TLG S={dev.num_states}", file=sys.stderr)
+    else:
+        text = synth_arpa_text(vocab_size=40_000, n_bigram=220_000,
+                               n_trigram=130_000, n_4gram=60_000, seed=1)
+        fsa = parse_arpa(text)
+        lexicon = {}
+        for wname, wid in fsa.vocab.items():
+            if not wname.startswith("w"):
+                continue
+            n = int(rng2.integers(3, 8))
+            ph = [int(rng2.integers(1, num_phones + 1))]
+            while len(ph) < n:
+                p = int(rng2.integers(1, num_phones + 1))
+                if p != ph[-1]:
+                    ph.append(p)
+            lexicon[wid] = ph
+        fst2, i2p2 = build_tlg(lexicon, fsa, num_phones)
+        dev = DeviceFst.build(fst2, arc_lanes=16)
+        dev.build_closure()
+        with open(pcache, "wb") as f:
+            pickle.dump((dev, i2p2, lexicon), f)
+    print(f"TLG S={dev.num_states} A={dev.max_em_degree} "
+          f"C={dev.max_closure_size}", file=sys.stderr)
+
+    import importlib
+    bench = importlib.import_module("bench")
+    beam = float(os.environ.get("TLG_BEAM", "13"))
+    cfg = DecoderConfig(beam=beam, beam_width=4096, arc_lanes=16,
+                        max_active=4096, min_active=200, eps_mode="closure")
+    search = TpuBeamSearch(dev, np.asarray(i2p2, np.int32), cfg)
+    bp, Tp = 32, 264
+    ll = jnp.asarray(bench._tlg_posteriors(rng2, lexicon, num_phones,
+                                           bp, Tp))
+    jax.block_until_ready(ll)
+    st, _ = search.init_state(bp)
+
+    def run():
+        out = search.advance(st, ll)[0]
+        return float(jnp.sum(jnp.where(jnp.isfinite(out.tok_cost),
+                                       out.tok_cost, 0.0)))
+
+    run()
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    stf, _ = search.advance(st, ll)
+    live = (np.asarray(stf.tok_cost) < np.inf).sum(axis=1)
+    print(f"advance min {best*1e3:.1f} ms ({best/Tp*1e3:.2f} ms/frame) "
+          f"live_mean={live.mean():.0f}", file=sys.stderr)
+
+    trace_dir = "/tmp/tlg_trace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    run()
+    jax.profiler.stop_trace()
+    report(trace_dir)
+
+
+def report(trace_dir):
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    assert files, f"no trace in {trace_dir}"
+    with gzip.open(files[0], "rt") as f:
+        tr = json.load(f)
+    pid_name = {}
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_name.items() if "TPU" in n}
+    tot = defaultdict(float)
+    cnt = defaultdict(int)
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            tot[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{us/1e3:9.2f} ms  x{cnt[name]:<6} {name[:110]}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--tlg" in sys.argv:
+        main_tlg()
+    else:
+        main()
