@@ -62,16 +62,21 @@ def _topo_order(lat: Lattice) -> list[int]:
 
 
 def determinize_lattice(lat: Lattice, max_states: int = 500_000,
-                        max_work: int = 4_000_000) -> Lattice:
+                        max_work: int | None = None) -> Lattice:
     """Determinize on word (olabel) sequences.  Input must be acyclic.
 
     ``max_work`` bounds total relaxation steps — degenerate lattices (huge
     per-word ilabel-string subsets) raise ``DeterminizeError`` instead of
     running away, the role of Kaldi's determinize max-mem/max-loop guard
     (callers fall back to the raw lattice, see session.get_lattice).
+    None = adaptive: generous for small lattices, bounded-blowup for big
+    ones, so a doomed determinization aborts in ~seconds instead of
+    burning a fixed multi-million-step budget before the fallback.
     """
     if lat.start < 0 or lat.num_states == 0:
         return Lattice()
+    if max_work is None:
+        max_work = min(4_000_000, max(500_000, 40 * lat.num_arcs))
     topo = _topo_order(lat)
     topo_pos = {s: i for i, s in enumerate(topo)}
     work = [0]

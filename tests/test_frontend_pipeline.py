@@ -43,7 +43,7 @@ def test_streaming_delta_matches_offline():
 
 @pytest.mark.parametrize("use_pitch", [False, True])
 def test_frontend_stream_vs_offline(use_pitch):
-    wave = make_wave(3, n=9600, amp=5000.0)[None]
+    wave = make_wave(3, n=6400, amp=5000.0)[None]
     kw = dict(delta_cfg=DeltaConfig(order=2, window=2))
     if use_pitch:
         kw.update(pitch_cfg=PitchConfig(), ppitch_cfg=ProcessPitchConfig())
@@ -51,9 +51,9 @@ def test_frontend_stream_vs_offline(use_pitch):
     off = f1.accept(wave, end=True)
     f2 = StreamingFrontend(FbankConfig(num_bins=16), **kw)
     chunks = []
-    for lo in range(0, 9600, 2560):
+    for lo in range(0, 6400, 2560):
         chunks.append(f2.accept(wave[:, lo:lo + 2560],
-                                end=lo + 2560 >= 9600))
+                                end=lo + 2560 >= 6400))
     got = np.concatenate(chunks, axis=1)
     assert got.shape == off.shape
     np.testing.assert_allclose(got, off, atol=1e-4)
@@ -92,15 +92,15 @@ def test_session_decodes_with_pitch_and_delta():
         pitch_config=PitchConfig(),
         process_pitch_config=ProcessPitchConfig(),
         delta_config=DeltaConfig(order=2, window=2))
-    wave = make_wave(33, n=12000, amp=5000.0)
+    wave = make_wave(33, n=8000, amp=5000.0)
     s = OnlineDecoderSession(info)
     s.process_data(wave, eos=True)
     ref = s.get_best_path()
     assert s.num_frames_decoded > 40
 
     s2 = OnlineDecoderSession(info)
-    for lo in range(0, 12000, 3700):
-        s2.process_data(wave[lo:lo + 3700], eos=lo + 3700 >= 12000)
+    for lo in range(0, 8000, 3700):
+        s2.process_data(wave[lo:lo + 3700], eos=lo + 3700 >= 8000)
     got = s2.get_best_path()
     assert got["words"] == ref["words"]
     assert got["cost"] == pytest.approx(ref["cost"], abs=1e-3)

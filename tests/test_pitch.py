@@ -62,7 +62,7 @@ def test_process_pitch_dims():
 
 def test_stream_matches_offline_at_eos():
     cfg, pcfg = PitchConfig(), ProcessPitchConfig()
-    wave = sine(180.0, 1.0)
+    wave = sine(180.0, 0.55)
     offline = np.asarray(compute_and_process_pitch(cfg, pcfg, wave[None]))
     sp = StreamPitch(cfg, pcfg, batch=1)
     outs = []
