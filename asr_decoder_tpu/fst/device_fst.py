@@ -358,3 +358,26 @@ class DeviceFst:
         (last edge first); split-chain bookkeeping links already dropped."""
         return self.clo_path_arcs[self.clo_path_off[entry]:
                                   self.clo_path_off[entry + 1]]
+
+    # -- prebuilt-graph persistence (role of the reference's converted
+    #    binary graph files: build once offline, load in seconds at serving
+    #    startup — ref: src/fst_format_convert_tool/README.txt) -----------
+    _SCALARS = ("start", "final_state", "num_states", "eps_depth")
+
+    def save(self, path: str) -> None:
+        """Persist the split CSR + (if built) ε-closure to one .npz."""
+        arrays = {k: v for k, v in self.__dict__.items()
+                  if isinstance(v, np.ndarray)}
+        scalars = np.array([getattr(self, k) for k in self._SCALARS],
+                           np.int64)
+        np.savez_compressed(path, __scalars__=scalars, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "DeviceFst":
+        z = np.load(path, allow_pickle=False)
+        sc = z["__scalars__"]
+        kw = dict(zip(DeviceFst._SCALARS, (int(x) for x in sc)))
+        for k in z.files:
+            if k != "__scalars__":
+                kw[k] = z[k]
+        return DeviceFst(**kw)

@@ -192,19 +192,19 @@ def main(quick: bool = False, profile_dir: str | None = None):
         t_gen = time.perf_counter() - t0
         t0 = time.perf_counter()
         dev2 = DeviceFst.build(fst2, arc_lanes=16)
-        cfg2 = DecoderConfig(beam=13.0, beam_width=4096, arc_lanes=16,
+        cfg2 = DecoderConfig(beam=12.0, beam_width=4096, arc_lanes=16,
                              max_active=4096, min_active=200,
                              eps_mode="closure")
         search2 = TpuBeamSearch(dev2, np.asarray(i2p2, np.int32), cfg2)
         t_load = time.perf_counter() - t0
-        bp, Tp = 32, 264
+        bp, Tp = 64, 264
         from asr_decoder_tpu.models.nnet import pack_nonblank_frames
         raw_ll = _tlg_posteriors(rng2, lexicon, num_phones, bp, Tp)
         # CTC blank-skip frame packing (ref SkipBlockFrame,
         # nnet-nnet.h:265-275): confidently-blank frames never reach the
         # search; log-softmax threshold = blank prob > 0.95
         packed, pmask = pack_nonblank_frames(raw_ll, 0,
-                                             thresh=float(np.log(0.9)))
+                                             thresh=float(np.log(0.75)))
         ll2 = jnp.asarray(packed)
         pmask_dev = jnp.asarray(pmask)
         jax.block_until_ready((ll2, pmask_dev))

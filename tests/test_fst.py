@@ -203,3 +203,26 @@ def test_symbol_table(tmp_path):
     t.write_text(p)
     t2 = SymbolTable.read_text(p)
     assert len(t2) == 3 and t2.find_id("world") == 2
+
+
+def test_device_fst_save_load(tmp_path):
+    """Prebuilt-graph persistence: a split+closed DeviceFst round-trips
+    through .npz bit-exactly (the serving-startup fast path, role of the
+    reference's converted binary graphs,
+    ref: src/fst_format_convert_tool/README.txt)."""
+    from asr_decoder_tpu.fst.device_fst import DeviceFst
+    from asr_decoder_tpu.fst.synthetic import random_hclg
+    rng = np.random.default_rng(5)
+    fst = random_hclg(rng, num_states=800, num_ilabels=32,
+                      min_degree=2, max_degree=24)
+    dev = DeviceFst.build(fst, arc_lanes=8)     # forces splitting
+    dev.build_closure()
+    p = str(tmp_path / "g.npz")
+    dev.save(p)
+    got = DeviceFst.load(p)
+    assert got.num_states == dev.num_states
+    assert got.eps_depth == dev.eps_depth
+    for k, v in dev.__dict__.items():
+        if isinstance(v, np.ndarray):
+            np.testing.assert_array_equal(getattr(got, k), v, err_msg=k)
+    assert got.max_closure_size == dev.max_closure_size
