@@ -197,7 +197,7 @@ def main(quick: bool = False, profile_dir: str | None = None):
                              eps_mode="closure")
         search2 = TpuBeamSearch(dev2, np.asarray(i2p2, np.int32), cfg2)
         t_load = time.perf_counter() - t0
-        bp, Tp = 64, 264
+        bp, Tp = 32, 264
         from asr_decoder_tpu.models.nnet import pack_nonblank_frames
         raw_ll = _tlg_posteriors(rng2, lexicon, num_phones, bp, Tp)
         # CTC blank-skip frame packing (ref SkipBlockFrame,
