@@ -192,9 +192,12 @@ def main(quick: bool = False, profile_dir: str | None = None):
         t_gen = time.perf_counter() - t0
         t0 = time.perf_counter()
         dev2 = DeviceFst.build(fst2, arc_lanes=16)
+        # topk_overfetch=1: with live ≪ K the K·F candidate cut never
+        # binds (duplicate crowding needs a saturated beam), so the
+        # overfetch safety margin costs dedup width for nothing here
         cfg2 = DecoderConfig(beam=12.0, beam_width=4096, arc_lanes=16,
                              max_active=4096, min_active=200,
-                             eps_mode="closure")
+                             eps_mode="closure", topk_overfetch=1)
         search2 = TpuBeamSearch(dev2, np.asarray(i2p2, np.int32), cfg2)
         t_load = time.perf_counter() - t0
         bp, Tp = 32, 264
