@@ -500,12 +500,28 @@ def _relax_topk(dst, cost, *, K, beam, min_active, F, gather_impl,
     # re-prune to K distinct (= live-prefix compaction).  With clo_first,
     # tokens whose destination carries the CLO_BIT ε-presence marker sort
     # to the FRONT of the beam, so the closure stage's page fetch runs a
-    # dynamic trip count of just those tokens.
-    if clo_first:
+    # dynamic trip count of just those tokens.  Selection (which K
+    # survive) is ALWAYS by cost; the ε-grouping pass reorders only —
+    # the group key is the bare 0/1 bit so it cannot be swamped by cost
+    # magnitudes (a cost-weighted key breaks at beam≈1e9, leaving marked
+    # tokens outside the fetch prefix → garbage closure rows).
+    if clo_first and KF == K:
+        # every candidate survives: no cost selection needed, group only
         bit_s = jnp.where(d_s != BIG_STATE, (d_s >> 30) & 1, 0)
-        val = jnp.where(jnp.isfinite(c_s),
-                        bit_s.astype(jnp.float32) * 1e9 - c_s, -INF)
+        val = jnp.where(jnp.isfinite(c_s), bit_s.astype(jnp.float32), -INF)
         _, pos = jax.lax.top_k(val, K)
+        cost2 = batched_table_gather(c_s, pos, force=gather_impl)
+        alive = jnp.isfinite(cost2)
+        pos = jnp.where(alive, pos, 0)
+    elif clo_first:
+        negc2, pos1 = jax.lax.top_k(-c_s, K)          # select by cost
+        alive1 = jnp.isfinite(-negc2)
+        bit1 = batched_table_gather(
+            jnp.where(d_s != BIG_STATE, (d_s >> 30) & 1, 0),
+            jnp.where(alive1, pos1, 0), force=gather_impl)
+        val = jnp.where(alive1, bit1.astype(jnp.float32), -INF)
+        _, pos2 = jax.lax.top_k(val, K)               # group ε-first
+        pos = batched_table_gather(pos1, pos2, force=gather_impl)
         cost2 = batched_table_gather(c_s, pos, force=gather_impl)
         alive = jnp.isfinite(cost2)
         pos = jnp.where(alive, pos, 0)

@@ -215,3 +215,38 @@ def test_blank_skip_mask_equals_frame_removal():
     assert res_masked["cost"] == pytest.approx(res_removed["cost"], abs=1e-3)
     assert res_masked["words"] == res_removed["words"]
     assert res_masked["ilabels"] == res_removed["ilabels"]
+
+
+def test_relax_topk_clo_grouping_robust_to_huge_costs():
+    """The ε-first re-prune groups CLO_BIT destinations at the beam front
+    regardless of cost magnitude (a cost-weighted grouping key silently
+    broke at beam≈1e9: marked tokens fell outside the closure-fetch
+    prefix and read unfetched rows on the DMA path)."""
+    import jax.numpy as jnp
+    from asr_decoder_tpu.ops.beamsearch import CLO_BIT, _relax_topk
+
+    K = 8
+    # candidates: distinct dsts, half carrying CLO_BIT, costs spanning 1e9
+    dst = np.array([[1 | CLO_BIT, 2, 3 | CLO_BIT, 4, 5, 6 | CLO_BIT,
+                     7, 8, 9, 10, 11 | CLO_BIT, 12]], np.int32)
+    cost = np.array([[9.9e8, 1.0, 5.0e8, 2.0, 3.0, 7.0e8,
+                      4.0, 5.0, 6.0, 7.0, 8.8e8, 9.0]], np.float32)
+    for F in (1, 2):
+        state, cost2, fi, alive, live = _relax_topk(
+            jnp.asarray(dst), jnp.asarray(cost), K=K, beam=1e9,
+            min_active=0, F=F, gather_impl="xla", clo_first=True)
+        state = np.asarray(state)[0]
+        alive = np.asarray(alive)[0]
+        bits = [(int(s) >> 30) & 1 if s >= 0 else -1 for s in state]
+        nbit = sum(b == 1 for b in bits)
+        # every live marked token sits before every live unmarked token
+        first_unmarked = bits.index(0)
+        assert all(b == 1 for b in bits[:first_unmarked][:nbit])
+        assert all(b != 1 for b in bits[first_unmarked:] if b >= 0), bits
+        if F == 1:
+            # nothing selected away: all 8 best-by-cost distinct states
+            assert int(np.asarray(live)[0]) == K
+        # selection is by cost: the K cheapest distinct dsts survive
+        want = set(np.sort(cost[0])[:K].tolist())
+        got = set(np.asarray(cost2)[0][alive].tolist())
+        assert got == want
