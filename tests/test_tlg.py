@@ -112,3 +112,55 @@ def test_synth_arpa_parses_and_composes():
     if res["words"] == [w1, w2]:       # another pair may tie cheaper
         assert res["cost"] == pytest.approx(fsa.score_ids([w1, w2]),
                                             abs=1e-3)
+
+
+def test_tlg_streaming_session_end_to_end():
+    """A composed TLG behind the full streaming session (fbank → AM →
+    search → traceback + word alignment): chunked decode equals one-shot,
+    and alignment spans use the TLG's end-anchored olabels."""
+    import jax
+    from asr_decoder_tpu.fst.symbol import SymbolTable
+    from asr_decoder_tpu.models.flagship import make_flagship
+    from asr_decoder_tpu.frontend.fbank import FbankConfig
+    from asr_decoder_tpu.serving.session import (OnlineDecoderConfig,
+                                                 OnlineDecoderInfo,
+                                                 OnlineDecoderSession)
+
+    fsa = parse_arpa(__import__("test_lm").ARPA)
+    a, b = fsa.vocab["a"], fsa.vocab["b"]
+    num_phones = 6
+    lexicon = {a: [1, 2], b: [3]}
+    fst, i2p = build_tlg(lexicon, fsa, num_phones)
+    nnet = make_flagship(jax.random.PRNGKey(0), feat_dim=16,
+                         num_pdfs=num_phones + 1, hidden=16, proj=8,
+                         num_layers=1, context=1)
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for name, wid in sorted(fsa.vocab.items(), key=lambda kv: kv[1]):
+        if wid > 0:
+            words.add(name, wid)
+    info = OnlineDecoderInfo(
+        nnet, fst, words, np.asarray(i2p, np.int32),
+        decoder_config=DecoderConfig(beam=1e9, beam_width=64, arc_lanes=8,
+                                     max_active=64, min_active=0,
+                                     lattice_beam=8.0),
+        online_config=OnlineDecoderConfig(chunk_frames=16),
+        fbank_config=FbankConfig(num_bins=16))
+    rng = np.random.default_rng(4)
+    wave = (rng.standard_normal(9600) * 3000).astype(np.float32)
+
+    s1 = OnlineDecoderSession(info)
+    s1.process_data(wave, eos=True)
+    one = s1.get_best_path()
+    ali = s1.get_word_alignment()
+
+    s2 = OnlineDecoderSession(info)
+    for lo in range(0, len(wave), 3200):
+        s2.process_data(wave[lo:lo + 3200], eos=lo + 3200 >= len(wave))
+    two = s2.get_best_path()
+    assert two["words"] == one["words"]
+    assert two["cost"] == pytest.approx(one["cost"], abs=1e-3)
+    # alignment matches the decoded words, spans monotone non-overlapping
+    assert [w for w, _, _ in ali] == words.words(one.get("words", []))
+    for (w1, b1, e1), (w2, b2, e2) in zip(ali, ali[1:]):
+        assert b1 <= e1 <= b2 <= e2
