@@ -4,6 +4,8 @@ This is the framework's analogue of the reference's decoder-vs-Kaldi parity
 axis (SURVEY §4): same graph + same loglikes ⇒ same best path (exact, with
 beams wide enough that pruning never differs)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -250,3 +252,34 @@ def test_relax_topk_clo_grouping_robust_to_huge_costs():
         want = set(np.sort(cost[0])[:K].tolist())
         got = set(np.asarray(cost2)[0][alive].tolist())
         assert got == want
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ASR_TPU_TESTS"),
+    reason="real-chip test (set ASR_TPU_TESTS=1); the DMA fetch kernel "
+           "has no CPU lowering")
+def test_dma_fetch_decode_matches_xla_on_tpu():
+    """On the real chip, the Pallas DMA page-fetch path must decode
+    identically (words + costs) to the XLA-gather fetch path — validated
+    manually each round; this pins it whenever the suite runs on TPU."""
+    from asr_decoder_tpu.fst.synthetic import random_hclg
+    rng = np.random.default_rng(0)
+    fst = random_hclg(rng, num_states=30_000, num_ilabels=64,
+                      num_words=500)
+    dev = DeviceFst.build(fst, arc_lanes=8)
+    i2p = np.concatenate([[0], np.arange(64)]).astype(np.int32)
+    B, T = 4, 50
+    sc = rng.standard_normal((B, T, 64)) * 5
+    ll = (sc - np.log(np.exp(sc).sum(-1, keepdims=True))).astype(np.float32)
+    out = {}
+    for fetch in ("dma", "xla"):
+        cfg = DecoderConfig(beam=12.0, beam_width=512, arc_lanes=8,
+                            max_active=512, min_active=20,
+                            eps_mode="closure", relax_impl="topk",
+                            fetch_impl=fetch)
+        s = TpuBeamSearch(dev, i2p, cfg)
+        st, il, lg = s.decode(ll)
+        out[fetch] = s.traceback(st, il, lg, fst)
+    for a, b in zip(out["dma"], out["xla"]):
+        assert a["words"] == b["words"]
+        assert a["cost"] == pytest.approx(b["cost"], abs=1e-3)
